@@ -1,0 +1,133 @@
+"""Segment-id attention: the one attention family for the whole framework.
+
+The reference uses xformers CUDA varlen attention with ragged lists of tensors
+(BlockDiagonalMask / BlockDiagonalCausalMask) in four places: the EVA ViT over
+packed multi-image batches, the LLM causal attention over padded ragged batches,
+the SAM image encoder, and single-token decode (``modeling_cogvlm.py:106-142``,
+``visual.py:97``, ``segvol/modeling/image_encoder.py:126-136``).
+
+The TPU-native design replaces ragged lists with *static shapes + segment ids*:
+tokens may attend to each other iff they carry the same nonzero segment id
+(segment id 0 = padding). A causal flag adds the lower-triangular constraint.
+This one contract covers padded batches (one segment per row), packed
+multi-image streams (one segment per image), and mixed packing.
+
+Two interchangeable implementations:
+  - ``xla``: reference einsum implementation, differentiable, runs anywhere.
+  - ``pallas``: flash-attention forward kernel (``flash.py``); backward
+    currently recomputes through the XLA path via ``jax.custom_vjp``.
+
+Numerics: softmax in fp32; fully-masked query rows produce zeros (matching the
+reference's zero-initialized output buffer, ``modeling_cogvlm.py:119``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _build_mask(
+    q_segments: jnp.ndarray,  # (B, Sq) int
+    kv_segments: jnp.ndarray,  # (B, Skv) int
+    causal: bool,
+    q_offset: int = 0,
+) -> jnp.ndarray:
+    """(B, Sq, Skv) bool validity mask."""
+    valid = (
+        (q_segments[:, :, None] == kv_segments[:, None, :])
+        & (q_segments[:, :, None] != 0)
+        & (kv_segments[:, None, :] != 0)
+    )
+    if causal:
+        sq, skv = q_segments.shape[1], kv_segments.shape[1]
+        q_pos = jnp.arange(sq)[:, None] + q_offset
+        kv_pos = jnp.arange(skv)[None, :]
+        valid = valid & (q_pos >= kv_pos)
+    return valid
+
+
+def _xla_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Skv, H, D)
+    v: jnp.ndarray,  # (B, Skv, H, D)
+    mask: jnp.ndarray,  # (B, Sq, Skv) bool
+    scale: float,
+) -> jnp.ndarray:
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+    # fp32 softmax; rows with no valid key must output exactly zero
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - jax.lax.stop_gradient(m))
+    unnorm = jnp.where(mask[:, None, :, :], unnorm, 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def segment_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_segments: jnp.ndarray,
+    kv_segments: jnp.ndarray | None = None,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Block-diagonal (optionally causal) attention with segment-id masking.
+
+    Args:
+        q: (B, Sq, H, D) queries.
+        k, v: (B, Skv, H, D) keys/values.
+        q_segments: (B, Sq) int segment ids; 0 marks padding.
+        kv_segments: (B, Skv); defaults to ``q_segments`` (self-attention).
+        causal: add the lower-triangular constraint (absolute positions).
+        scale: logit scale; defaults to ``D ** -0.5``.
+        impl: "auto" | "xla" | "pallas".
+
+    Returns: (B, Sq, H, D) in the dtype of ``v``; masked rows are zero.
+    """
+    if kv_segments is None:
+        kv_segments = q_segments
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .flash import flash_segment_attention
+
+        return flash_segment_attention(
+            q, k, v, q_segments, kv_segments, causal=causal, scale=scale
+        )
+    mask = _build_mask(q_segments, kv_segments, causal)
+    return _xla_attention(q, k, v, mask, scale)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # (B, 1, H, D) current-token query
+    k_cache: jnp.ndarray,  # (B, Smax, H, D)
+    v_cache: jnp.ndarray,  # (B, Smax, H, D)
+    kv_valid: jnp.ndarray,  # (B, Smax) bool: which cache slots hold real keys
+    *,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Single-token attention against a static KV cache.
+
+    Matches the reference decode path (``modeling_cogvlm.py:129-141``): invalid
+    slots are excluded via -inf logits, softmax in fp32.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    logits = jnp.where(kv_valid[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache)
+    return out

@@ -1,0 +1,123 @@
+"""Spatial resampling + variable-depth (z) patch ops.
+
+This is the TPU formulation of the reference's "any-resolution 2-D/3-D in one
+model" trick (``mmmm/models/resample.py``): a single Conv3d patch-embedding
+weight stored at the maximum z kernel whose z extent is *summed down* at call
+time to the sample's ``patch_size_z``, and a ConvTranspose3d upsampler whose z
+kernel collapses to 1 for thin volumes.
+
+TPU-first design decisions:
+  - patch size is a static (bucketed) Python int per compiled variant, so the
+    collapsed weight is a compile-time constant folding away entirely;
+  - the strided convs are expressed as reshape + one big matmul (stride ==
+    kernel, no overlap), which maps straight onto the MXU instead of relying on
+    XLA convolution lowering;
+  - interpolation uses ``jax.image.resize`` half-pixel linear sampling (the
+    analog of ``torch.nn.functional.interpolate(align_corners=False)``).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def resample_nd(x: jnp.ndarray, shape: tuple[int, ...], scale: bool = False) -> jnp.ndarray:
+    """Linearly resample the trailing spatial dims of ``x`` to ``shape``.
+
+    Equivalent of the reference's ``luolib.models.spadop.resample`` (used for
+    position-embedding and conv-kernel adaptation, ``visual.py:44,66``).
+    ``scale=True`` preserves the summed response when resizing conv kernels.
+    """
+    spatial = x.shape[x.ndim - len(shape):]
+    if tuple(spatial) == tuple(shape):
+        return x
+    out = jax.image.resize(x, (*x.shape[: x.ndim - len(shape)], *shape), method="linear")
+    if scale:
+        out = out * (math.prod(spatial) / math.prod(shape))
+    return out
+
+
+def collapse_patch_weight_z(weight: jnp.ndarray, patch_size_z: int) -> jnp.ndarray:
+    """Sum-reduce a (Cout, Cin, Dmax, H, W) conv kernel to z extent ``patch_size_z``.
+
+    Mirrors ``resample.Downsample.forward`` (``mmmm/models/resample.py:55-62``):
+    groups of ``Dmax / patch_size_z`` consecutive z slices are summed so a patch
+    of any depth produces the same embedding scale.
+    """
+    d_max = weight.shape[2]
+    if d_max == patch_size_z:
+        return weight
+    if d_max % patch_size_z != 0:
+        raise ValueError(f"stored z kernel {d_max} not divisible by patch_size_z {patch_size_z}")
+    co, ci, _, h, w = weight.shape
+    return weight.reshape(co, ci, patch_size_z, d_max // patch_size_z, h, w).sum(axis=3)
+
+
+def variable_patch_embed_3d(
+    x: jnp.ndarray,  # (B, C, D, H, W)
+    weight: jnp.ndarray,  # (Cout, Cin, Dmax, Ph, Pw)
+    bias: jnp.ndarray | None,
+    patch_size: tuple[int, int, int],
+) -> jnp.ndarray:
+    """Non-overlapping patch embedding with a runtime-chosen z patch size.
+
+    Returns (B, Cout, D/pz, H/ph, W/pw). The conv (stride == kernel) is computed
+    as patch extraction + one matmul so the MXU does all the work.
+    """
+    pz, ph, pw = patch_size
+    w = collapse_patch_weight_z(weight, pz)
+    b_, c, d, h, wd = x.shape
+    if d % pz or h % ph or wd % pw:
+        raise ValueError(f"image shape {(d, h, wd)} not divisible by patch {patch_size}")
+    gd, gh, gw = d // pz, h // ph, wd // pw
+    patches = x.reshape(b_, c, gd, pz, gh, ph, gw, pw)
+    patches = patches.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(b_, gd * gh * gw, c * pz * ph * pw)
+    wmat = w.reshape(w.shape[0], -1).T  # (Cin*pz*ph*pw, Cout)
+    out = jnp.dot(patches, wmat.astype(patches.dtype), preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    out = out.astype(x.dtype)
+    return out.reshape(b_, gd, gh, gw, -1).transpose(0, 4, 1, 2, 3)
+
+
+def variable_upsample_3d(
+    x: jnp.ndarray,  # (B, Cin, D, H, W)
+    weight: jnp.ndarray,  # (Cin, Cout, 2, 2, 2) conv-transpose layout
+    bias: jnp.ndarray | None,
+    patch_size_z: int,
+    cnt: int,
+) -> jnp.ndarray:
+    """Stride-2 transposed conv whose z kernel collapses for thin volumes.
+
+    Mirrors ``resample.Upsample`` (``mmmm/models/resample.py:64-94``): if
+    ``patch_size_z < 2 ** (cnt + 1)`` the z kernel is mean-collapsed to 1 so
+    the z extent is not upsampled. Implemented as matmul + pixel shuffle.
+    """
+    threshold = 1 << (cnt + 1)
+    collapse_z = patch_size_z < threshold
+    w = weight.mean(axis=2, keepdims=True) if collapse_z else weight
+    kz = w.shape[2]
+    cin, cout = w.shape[0], w.shape[1]
+    b_, c, d, h, wd = x.shape
+    wmat = w.reshape(cin, cout * kz * 2 * 2)
+    tokens = x.transpose(0, 2, 3, 4, 1).reshape(b_, d * h * wd, cin)
+    out = jnp.dot(tokens, wmat.astype(tokens.dtype), preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    out = out.reshape(b_, d, h, wd, cout, kz, 2, 2)
+    # (b, d, kz, h, 2, w, 2, cout) -> (b, cout, d*kz, h*2, w*2)
+    out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(b_, cout, d * kz, h * 2, wd * 2)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :, None, None, None]
+    return out
+
+
+def trilinear_resize(x: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
+    """Trilinear upsample of (..., D, H, W) mask logits to the image grid."""
+    return resample_nd(x, shape)
+
+
+def nearest_resize(x: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
+    """Nearest-neighbor resize of trailing dims (label downsampling)."""
+    return jax.image.resize(x, (*x.shape[: x.ndim - len(shape)], *shape), method="nearest")

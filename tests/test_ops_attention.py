@@ -1,0 +1,109 @@
+"""Unit tests for segment-id attention: Pallas kernel vs XLA reference vs naive."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmmm_tpu.ops import segment_attention, decode_attention
+from mmmm_tpu.ops.attention import _build_mask, _xla_attention
+
+
+def naive_attention(q, k, v, mask, scale):
+    """Per-row softmax attention in float64-ish numpy for ground truth."""
+    q, k, v = np.asarray(q, np.float64), np.asarray(k, np.float64), np.asarray(v, np.float64)
+    b, sq, h, d = q.shape
+    out = np.zeros_like(q)
+    for bi in range(b):
+        for hi in range(h):
+            logits = q[bi, :, hi] @ k[bi, :, hi].T * scale
+            logits = np.where(np.asarray(mask)[bi], logits, -np.inf)
+            for i in range(sq):
+                row = logits[i]
+                if np.all(np.isinf(row) & (row < 0)):
+                    continue
+                p = np.exp(row - row.max())
+                p = np.where(np.isfinite(row), p, 0.0)
+                p = p / p.sum()
+                out[bi, i, hi] = p @ v[bi, :, hi]
+    return out
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_xla_matches_naive(causal):
+    rng = np.random.default_rng(0)
+    b, s, h, d = 2, 24, 3, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    # two segments + padding tail
+    seg = jnp.asarray([[1] * 10 + [2] * 8 + [0] * 6, [1] * 24], jnp.int32)
+    scale = d**-0.5
+    out = segment_attention(q, k, v, seg, causal=causal, impl="xla")
+    mask = _build_mask(seg, seg, causal)
+    ref = naive_attention(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    # padded rows are exactly zero
+    np.testing.assert_array_equal(np.asarray(out)[0, 18:], 0.0)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq", [24, 128, 200])
+def test_pallas_matches_xla(causal, seq):
+    rng = np.random.default_rng(1)
+    b, h, d = 2, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    seg_np = np.zeros((b, seq), np.int32)
+    seg_np[0, : seq // 2] = 1
+    seg_np[0, seq // 2 : seq - 3] = 2
+    seg_np[1, :] = 1
+    seg = jnp.asarray(seg_np)
+    out_x = segment_attention(q, k, v, seg, causal=causal, impl="xla")
+    out_p = segment_attention(q, k, v, seg, causal=causal, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-5)
+
+
+def test_pallas_grad_matches_xla():
+    rng = np.random.default_rng(2)
+    b, s, h, d = 1, 40, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    seg = jnp.asarray(np.r_[[1] * 30, [0] * 10][None], jnp.int32)
+
+    def loss(impl, q, k, v):
+        return jnp.sum(segment_attention(q, k, v, seg, causal=True, impl=impl) ** 2)
+
+    gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_cross_attention_segments():
+    """q and kv of different lengths (two-way transformer style)."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 5, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 17, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 17, 2, 8)), jnp.float32)
+    qseg = jnp.ones((1, 5), jnp.int32)
+    kseg = jnp.ones((1, 17), jnp.int32)
+    out = segment_attention(q, k, v, qseg, kseg, impl="xla")
+    mask = _build_mask(qseg, kseg, False)
+    ref = naive_attention(q, k, v, mask, 8**-0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_decode_attention_matches_full():
+    """Decode path (1 query vs cache) == last row of full causal attention."""
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 12, 2, 8
+    q_full = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    seg = jnp.ones((b, s), jnp.int32)
+    full = segment_attention(q_full, k, v, seg, causal=True, impl="xla")
+    valid = jnp.ones((b, s), bool)
+    dec = decode_attention(q_full[:, -1:], k, v, valid)
+    np.testing.assert_allclose(np.asarray(dec[:, 0]), np.asarray(full[:, -1]), atol=1e-5)
