@@ -1,0 +1,209 @@
+"""CogVLM visual-expert decoder (LLaMA skeleton + per-token-type dual experts).
+
+Re-design of ``mmmm/models/cogvlm/modeling_cogvlm.py:196-340`` for TPU: the
+reference routes vision/language tokens through separate QKV/dense/MLP weights
+with boolean masked scatters; XLA-hostile. Here both experts run as dense
+matmuls over all tokens and the result is selected with ``jnp.where`` — for a
+2-way hard-routed expert this is mathematically identical and keeps the MXU
+saturated with two big matmuls instead of two gathers + two ragged matmuls.
+
+Faithfully reproduced quirks:
+  - expert-mask off-by-one: a token uses the vision expert iff it *and its
+    successor* are vision-typed, so ``eoi`` runs through the language expert
+    (``modeling_cogvlm.py:58-70``);
+  - RoPE indexed by CogVLM's custom position ids (all image patches share one
+    position; supplied by the data layer / generation loop);
+  - RMSNorm in fp32, logits in fp32.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import apply_rope, decode_attention, rms_norm, rope_cos_sin, segment_attention
+from .config import CogVLMConfig
+
+VISION_TOKEN_TYPE = 1
+LANGUAGE_TOKEN_TYPE = 0
+
+
+def vision_expert_mask(token_type_ids: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) bool: positions routed to the vision expert.
+
+    CogVLM quirk (``modeling_cogvlm.py:58-70``): vision iff this token AND the
+    next one are vision-typed; the last position is always language.
+    """
+    tt = token_type_ids
+    m = (tt[:, :-1] == VISION_TOKEN_TYPE) & (tt[:, 1:] == VISION_TOKEN_TYPE)
+    return jnp.pad(m, ((0, 0), (0, 1)), constant_values=False)
+
+
+def init_llm_params(key, cfg: CogVLMConfig, dtype=jnp.float32) -> dict:
+    c, i, L, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers, cfg.vocab_size
+    ks = iter(jax.random.split(key, 16))
+    std = 0.02
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def expert_mlp(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {"gate": nrm(k1, (L, c, i)), "up": nrm(k2, (L, c, i)), "down": nrm(k3, (L, i, c))}
+
+    return {
+        "embed_tokens": nrm(next(ks), (v, c)),
+        "layers": {
+            "vis_qkv": nrm(next(ks), (L, c, 3 * c)),
+            "lang_qkv": nrm(next(ks), (L, c, 3 * c)),
+            "vis_dense": nrm(next(ks), (L, c, c)),
+            "lang_dense": nrm(next(ks), (L, c, c)),
+            "vis_mlp": expert_mlp(next(ks)),
+            "lang_mlp": expert_mlp(next(ks)),
+            "input_ln": jnp.ones((L, c), dtype),
+            "post_ln": jnp.ones((L, c), dtype),
+        },
+        "norm": jnp.ones((c,), dtype),
+        "lm_head": nrm(next(ks), (c, v)),
+    }
+
+
+def _dual(x, w_vis, w_lang, vis_mask):
+    """Dense 2-way expert: both matmuls, per-token select."""
+    out_v = jnp.dot(x, w_vis)
+    out_l = jnp.dot(x, w_lang)
+    return jnp.where(vis_mask[..., None], out_v, out_l)
+
+
+def _expert_mlp(x, mp_vis, mp_lang, vis_mask):
+    def swiglu(mp):
+        return jnp.dot(jax.nn.silu(jnp.dot(x, mp["gate"])) * jnp.dot(x, mp["up"]), mp["down"])
+
+    return jnp.where(vis_mask[..., None], swiglu(mp_vis), swiglu(mp_lang))
+
+
+def _decoder_layer(
+    x,
+    lp,
+    *,
+    cfg: CogVLMConfig,
+    vis_mask,
+    segments,
+    position_ids,
+    cos,
+    sin,
+    attn_impl: str,
+    cache=None,  # optional (k_cache, v_cache, cache_index) for decode
+):
+    b, s, c = x.shape
+    h, d = cfg.num_attention_heads, cfg.head_dim
+    residual = x
+    x = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+    qkv = _dual(x, lp["vis_qkv"], lp["lang_qkv"], vis_mask)
+    q, k, v = [t.reshape(b, s, h, d) for t in jnp.split(qkv, 3, axis=-1)]
+    q, k = apply_rope(q, k, cos, sin, position_ids)
+    if cache is None:
+        ctx = segment_attention(q, k, v, segments, causal=True, impl=attn_impl)
+        new_cache = (k, v)
+    else:
+        k_cache, v_cache, index = cache
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, index, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, index, axis=1)
+        smax = k_cache.shape[1]
+        valid = (jnp.arange(smax)[None, :] < index + s) & (segments > 0)
+        ctx = decode_attention(q, k_cache, v_cache, valid)
+        new_cache = (k_cache, v_cache)
+    ctx = ctx.reshape(b, s, c)
+    attn_out = _dual(ctx, lp["vis_dense"], lp["lang_dense"], vis_mask)
+    x = residual + attn_out
+    residual = x
+    x = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    x = residual + _expert_mlp(x, lp["vis_mlp"], lp["lang_mlp"], vis_mask)
+    return x, new_cache
+
+
+def llm_forward(
+    params: dict,
+    cfg: CogVLMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, C)
+    token_type_ids: jnp.ndarray,  # (B, S)
+    position_ids: jnp.ndarray,  # (B, S)
+    segments: jnp.ndarray,  # (B, S) attention-mask segments (0 = pad)
+    *,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    return_kv: bool = False,
+):
+    """Full-sequence forward; returns final hidden states (B, S, C) after norm.
+
+    With ``return_kv=True`` additionally returns per-layer rotated keys/values
+    stacked as {"k": (L, B, S, H, D), "v": ...} for KV-cache prefill.
+    """
+    vis_mask = vision_expert_mask(token_type_ids)
+    cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
+    layer = partial(
+        _decoder_layer,
+        cfg=cfg,
+        vis_mask=vis_mask,
+        segments=segments,
+        position_ids=position_ids,
+        cos=cos,
+        sin=sin,
+        attn_impl=attn_impl,
+    )
+
+    def body(h, lp):
+        h_new, kv = layer(h, lp)
+        return h_new, kv if return_kv else None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, kv = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if return_kv:
+        return x, {"k": kv[0], "v": kv[1]}
+    return x
+
+
+def llm_decode_step(
+    params: dict,
+    cfg: CogVLMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, 1, C)
+    token_type_ids: jnp.ndarray,  # (B, 2): (prev, current) types for the expert quirk
+    position_ids: jnp.ndarray,  # (B, 1)
+    kv_caches: dict,  # {"k": (L, B, Smax, H, D), "v": (L, B, Smax, H, D)}
+    cache_index: jnp.ndarray,  # scalar int: where to write this token
+    segments: jnp.ndarray,  # (B, Smax): nonzero where cache slots are real
+):
+    """Single-token decode against static KV caches; returns (hidden, caches).
+
+    ``token_type_ids`` carries (type[t], type[t+1]=LANGUAGE) so the expert mask
+    matches the full-sequence rule. During generation all new tokens are
+    language-typed, so the mask is False — but the prompt's last token is
+    handled by the prefill.
+    """
+    vis_mask = vision_expert_mask(token_type_ids)[:, :1]
+    cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
+    x = inputs_embeds
+    num_layers = cfg.num_hidden_layers
+
+    def body(x, layer_inputs):
+        lp, k_cache, v_cache = layer_inputs
+        out, (k_new, v_new) = _decoder_layer(
+            x,
+            lp,
+            cfg=cfg,
+            vis_mask=vis_mask,
+            segments=segments,
+            position_ids=position_ids,
+            cos=cos,
+            sin=sin,
+            attn_impl="xla",
+            cache=(k_cache, v_cache, cache_index),
+        )
+        return out, (k_new, v_new)
+
+    x, (k_caches, v_caches) = jax.lax.scan(body, x, (params["layers"], kv_caches["k"], kv_caches["v"]))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, {"k": k_caches, "v": v_caches}
