@@ -1,3 +1,4 @@
-from . import cogvlm
+from . import cogvlm, segvol
+from .mmmm import MMMMConfig, MMMMModel, init_mmmm_params
 
-__all__ = ["cogvlm"]
+__all__ = ["cogvlm", "segvol", "MMMMConfig", "MMMMModel", "init_mmmm_params"]

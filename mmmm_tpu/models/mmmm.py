@@ -1,0 +1,208 @@
+"""MMMM top-level model: CogVLM backbone + SAM/iSAM grounding heads + vg_proj.
+
+Equivalent of ``MMMMForCausalLM`` (``mmmm/models/mmmm.py:55-352``), fully
+static-shaped for SPMD:
+
+  - grounded-phrase prompts are gathered at data-layer-precomputed ``</p>``
+    positions (a fixed ``(B, N_targets)`` index tensor + validity mask) instead
+    of boolean masking over ragged lists (``mmmm.py:167-178``);
+  - the per-batch grounding mode (none / semantic / instance) is a *static*
+    bucket attribute, so each bucket compiles one program and the reference's
+    DDP dummy-forward hacks (``mmmm.py:263-278``) vanish by construction;
+  - losses are masked means over the padded target axis.
+
+Precision policy (mirrors ``MyPrecision``, ``mmmm.py:468-492``): the VLM runs
+in bf16, SAM/iSAM/vg_proj and the grounding image stay fp32, logits fp32.
+That policy is applied by the caller via parameter dtypes; this module only
+fixes the fp32 cast of grounding inputs (``hidden ... .float()``,
+``mmmm.py:314``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .cogvlm import CogVLMConfig, cogvlm_forward, init_cogvlm_params, weighted_ce_loss
+from .segvol import (
+    DiceFocalLoss,
+    InstanceSamLoss,
+    SamConfig,
+    init_sam_params,
+    instance_sam_forward,
+    sam_forward,
+)
+from .segvol.loss import masked_mean
+from ..ops.resample import nearest_resize
+
+
+@dataclasses.dataclass(frozen=True)
+class MMMMConfig:
+    vlm: CogVLMConfig = dataclasses.field(default_factory=CogVLMConfig)
+    sam: SamConfig = dataclasses.field(default_factory=SamConfig)
+    lm_loss_weight: float = 1.0
+    mask_loss: DiceFocalLoss = dataclasses.field(
+        default_factory=lambda: DiceFocalLoss(dice_weight=2, focal_weight=2, focal_gamma=2)
+    )
+    isam_loss: InstanceSamLoss = dataclasses.field(default_factory=InstanceSamLoss)
+    # token ids are filled in from the tokenizer at build time
+    bop_token_id: int = -1
+    eop_token_id: int = -1
+
+    def __post_init__(self):
+        if self.isam_loss.mask_loss is None:
+            object.__setattr__(
+                self, "isam_loss", dataclasses.replace(self.isam_loss, mask_loss=self.mask_loss)
+            )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128) -> "MMMMConfig":
+        return cls(vlm=CogVLMConfig.tiny(vocab_size), sam=SamConfig.tiny())
+
+
+def init_mmmm_params(key, cfg: MMMMConfig, dtype=jnp.float32) -> dict:
+    kv, ks, ki, kp1, kp2 = jax.random.split(key, 5)
+    c = cfg.vlm.hidden_size
+    pd = cfg.sam.embed_dim
+    std = 0.02
+    return {
+        "cogvlm": init_cogvlm_params(kv, cfg.vlm, dtype),
+        "sam": init_sam_params(ks, cfg.sam, instance=False),
+        "isam": init_sam_params(ki, cfg.sam, instance=True),
+        # vg_proj: Linear(C, C) -> ReLU -> Linear(C, prompt_dim), fp32 (mmmm.py:126-130)
+        "vg_proj": {
+            "w1": (jax.random.normal(kp1, (c, c)) * std).astype(jnp.float32),
+            "b1": jnp.zeros((c,), jnp.float32),
+            "w2": (jax.random.normal(kp2, (c, pd)) * std).astype(jnp.float32),
+            "b2": jnp.zeros((pd,), jnp.float32),
+        },
+    }
+
+
+def vg_project(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    p = params["vg_proj"]
+    x = hidden.astype(jnp.float32)
+    x = jax.nn.relu(x @ p["w1"] + p["b1"])
+    return x @ p["w2"] + p["b2"]
+
+
+def gather_vg_prompts(
+    params: dict,
+    hidden: jnp.ndarray,  # (B, S, C) last-layer hidden states
+    vg_positions: jnp.ndarray,  # (B, N) indices t such that input_ids[t+1] == </p>
+) -> jnp.ndarray:
+    """Project hidden states that *generated* each ``</p>`` into SAM prompt
+    space (the GLaMM-style shift, ``mmmm.py:312-314``): position t sees the
+    hidden state whose next-token prediction is ``</p>``."""
+    gathered = jnp.take_along_axis(hidden, vg_positions[..., None], axis=1)  # (B, N, C)
+    return vg_project(params, gathered)
+
+
+class MMMMModel:
+    """Thin stateless namespace bundling config + pure forward/loss functions."""
+
+    def __init__(self, cfg: MMMMConfig):
+        self.cfg = cfg
+
+    def init(self, key, dtype=jnp.float32):
+        return init_mmmm_params(key, self.cfg, dtype)
+
+    def vlm_forward(self, params, batch, *, attn_impl="auto", remat=False):
+        return cogvlm_forward(
+            params["cogvlm"],
+            self.cfg.vlm,
+            batch["input_ids"],
+            batch["token_type_ids"],
+            batch["position_ids"],
+            batch["attention_mask"],
+            batch.get("image"),
+            batch.get("patch_size"),
+            batch.get("pool_size"),
+            attn_impl=attn_impl,
+            remat=remat,
+        )
+
+    def training_step(
+        self,
+        params: dict,
+        batch: dict,
+        *,
+        vg_mode: str = "none",  # static: "none" | "semantic" | "instance"
+        attn_impl: str = "auto",
+        remat: bool = False,
+    ) -> tuple[jnp.ndarray, dict[str, Any]]:
+        """One loss evaluation (``mmmm.py:296-352``).
+
+        batch keys (all padded/static):
+          input_ids/token_type_ids/position_ids/attention_mask/labels/weight (B, S)
+          image (B, C, D, H, W), patch_size, pool_size (static tuples)
+          [vg] grounding_image (B, C, D, H, W) fp32, vg_positions (B, N),
+               vg_valid (B, N), and labels per mode:
+                 semantic: masks (B, N, D, H, W)
+                 instance: boxes_label (B, Lmax, 6), index_offsets (B, N, 2),
+                           optional masks_label (B, Lmax, D, H, W)
+        """
+        cfg = self.cfg
+        hidden, logits = self.vlm_forward(params, batch, attn_impl=attn_impl, remat=remat)
+        lm_loss = weighted_ce_loss(logits, batch["labels"], batch.get("weight"))
+        log = {"lm_loss": lm_loss}
+        if vg_mode == "none":
+            return cfg.lm_loss_weight * lm_loss, log
+
+        # hidden[:, :-1] aligned with input_ids[:, 1:]; vg_positions index the
+        # unshifted hidden directly (data layer stores t with ids[t+1] == eop)
+        prompts = gather_vg_prompts(params, hidden.astype(jnp.float32), batch["vg_positions"])
+        g_image = batch["grounding_image"].astype(jnp.float32)
+        patch_size = batch["patch_size"]
+        valid = batch["vg_valid"]
+
+        if vg_mode == "semantic":
+            masks_logits, _ = sam_forward(
+                params["sam"], cfg.sam, g_image, patch_size, prompts,
+                attn_impl=attn_impl, remat=remat,
+            )
+            vg_log = cfg.mask_loss.masked(
+                masks_logits.astype(jnp.float32), batch["masks"].astype(jnp.float32),
+                valid, return_dict=True,
+            )
+            vg_loss = vg_log.pop("total")
+            log.update({f"vg/{k}": v for k, v in vg_log.items()})
+        elif vg_mode == "instance":
+            out = instance_sam_forward(
+                params["isam"], cfg.sam, g_image, patch_size, prompts,
+                attn_impl=attn_impl, remat=remat,
+                upsample_to_image="masks_label" in batch,
+            )
+            use_masks = "masks_label" in batch
+            if use_masks:
+                ds_shape = out.masks_logits_low_res.shape[3:]
+                masks_label_ds = jax.vmap(lambda m: nearest_resize(m.astype(jnp.float32), ds_shape))(
+                    batch["masks_label"].astype(jnp.float32)
+                )
+
+            def one(i):
+                return cfg.isam_loss.sample_loss(
+                    out.masks_logits[i, :, 1:] if use_masks else None,
+                    out.masks_logits_low_res[i, :, 1:] if use_masks else None,
+                    out.boxes[i, :, 1:],
+                    out.disc_logit[i],
+                    batch["masks_label"][i] if use_masks else None,
+                    masks_label_ds[i] if use_masks else None,
+                    batch["boxes_label"][i],
+                    batch["index_offsets"][i],
+                    valid[i],
+                )
+
+            b = g_image.shape[0]
+            losses, logs = jax.vmap(one)(jnp.arange(b))
+            vg_loss = losses.mean()
+            log.update({f"vg/{k}": v.mean() for k, v in logs.items()})
+        else:
+            raise ValueError(f"unknown vg_mode {vg_mode!r}")
+
+        log["vg_loss"] = vg_loss
+        total = cfg.lm_loss_weight * lm_loss + vg_loss
+        log["loss"] = total
+        return total, log
