@@ -107,11 +107,12 @@ def _decoder_layer(
         ctx = segment_attention(q, k, v, segments, causal=True, impl=attn_impl)
         new_cache = (k, v)
     else:
-        k_cache, v_cache, index = cache
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, index, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, index, axis=1)
+        k_cache, v_cache, write_index, kv_len = cache  # write_index/kv_len: (B,)
+        upd = jax.vmap(lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=0))
+        k_cache = upd(k_cache, k, write_index)
+        v_cache = upd(v_cache, v, write_index)
         smax = k_cache.shape[1]
-        valid = (jnp.arange(smax)[None, :] < index + s) & (segments > 0)
+        valid = jnp.arange(smax)[None, :] < kv_len[:, None]
         ctx = decode_attention(q, k_cache, v_cache, valid)
         new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
@@ -170,11 +171,11 @@ def llm_decode_step(
     params: dict,
     cfg: CogVLMConfig,
     inputs_embeds: jnp.ndarray,  # (B, 1, C)
-    token_type_ids: jnp.ndarray,  # (B, 2): (prev, current) types for the expert quirk
+    token_type_ids: jnp.ndarray,  # (B, 2): (current, next) types for the expert quirk
     position_ids: jnp.ndarray,  # (B, 1)
     kv_caches: dict,  # {"k": (L, B, Smax, H, D), "v": (L, B, Smax, H, D)}
-    cache_index: jnp.ndarray,  # scalar int: where to write this token
-    segments: jnp.ndarray,  # (B, Smax): nonzero where cache slots are real
+    write_index: jnp.ndarray,  # (B,) cache slot for this token
+    kv_len: jnp.ndarray,  # (B,) number of valid slots including this token
 ):
     """Single-token decode against static KV caches; returns (hidden, caches).
 
@@ -186,7 +187,6 @@ def llm_decode_step(
     vis_mask = vision_expert_mask(token_type_ids)[:, :1]
     cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
     x = inputs_embeds
-    num_layers = cfg.num_hidden_layers
 
     def body(x, layer_inputs):
         lp, k_cache, v_cache = layer_inputs
@@ -195,12 +195,12 @@ def llm_decode_step(
             lp,
             cfg=cfg,
             vis_mask=vis_mask,
-            segments=segments,
+            segments=None,
             position_ids=position_ids,
             cos=cos,
             sin=sin,
             attn_impl="xla",
-            cache=(k_cache, v_cache, cache_index),
+            cache=(k_cache, v_cache, write_index, kv_len),
         )
         return out, (k_new, v_new)
 

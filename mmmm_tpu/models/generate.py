@@ -1,0 +1,123 @@
+"""Greedy generation with static KV caches + grounded decoding.
+
+Equivalent of the reference's HF ``generate`` plumbing
+(``mmmm/models/mmmm.py:354-406``, ``modeling_cogvlm.py:725-780``): prefill the
+full multimodal prompt once, then a ``lax.scan`` decode loop over a
+preallocated cache — one compiled program per (prompt-bucket, max-new) shape.
+
+CogVLM position quirk during decode (``mmmm.py:383-388``): the position id of
+the token being fed does NOT advance when the previous token is ``<p>`` or the
+fed token itself is ``</p>`` — grounded phrase tags are positionally invisible.
+
+Per-step last-layer hidden states are collected so grounded inference can
+gather the states that generated each ``</p>`` and prompt the SAM heads
+(``mmmm.py:180-223``) without a second forward pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .cogvlm import CogVLMConfig
+from .cogvlm.decoder import LANGUAGE_TOKEN_TYPE, llm_decode_step, llm_forward, vision_expert_mask
+from .cogvlm.model import splice_vision_embeds
+from .cogvlm.vit import vit_forward
+
+
+@dataclasses.dataclass
+class GenerateResult:
+    tokens: jnp.ndarray  # (B, max_new) generated ids (eos-padded after stop)
+    hidden: jnp.ndarray  # (B, max_new, C) hidden state that generated each token
+    prefill_hidden: jnp.ndarray  # (B, S_prompt, C)
+    num_generated: jnp.ndarray  # (B,) tokens before (and including) eos
+
+
+def greedy_generate(
+    params: dict,
+    cfg: CogVLMConfig,
+    input_ids: jnp.ndarray,  # (B, S_prompt) right-padded prompt
+    token_type_ids: jnp.ndarray,  # (B, S_prompt)
+    position_ids: jnp.ndarray,  # (B, S_prompt)
+    prompt_len: jnp.ndarray,  # (B,) true prompt lengths
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    bop_token_id: int,
+    eop_token_id: int,
+    image: jnp.ndarray | None = None,
+    patch_size=None,
+    pool_size=None,
+    attn_impl: str = "auto",
+) -> GenerateResult:
+    b, s_prompt = input_ids.shape
+    smax = s_prompt + max_new_tokens
+    segments = (jnp.arange(s_prompt)[None, :] < prompt_len[:, None]).astype(jnp.int32)
+
+    # ---- prefill ----------------------------------------------------------
+    emb = params["llm"]["embed_tokens"][input_ids]
+    if image is not None:
+        vis = vit_forward(params["vision"], cfg, image, patch_size, pool_size, attn_impl=attn_impl)
+        emb = splice_vision_embeds(emb, vis)
+    hidden, kv = llm_forward(
+        params["llm"], cfg, emb, token_type_ids, position_ids, segments,
+        attn_impl=attn_impl, return_kv=True,
+    )
+    l, _, _, h, d = kv["k"].shape
+    caches = {
+        "k": jnp.zeros((l, b, smax, h, d), kv["k"].dtype).at[:, :, :s_prompt].set(kv["k"]),
+        "v": jnp.zeros((l, b, smax, h, d), kv["v"].dtype).at[:, :, :s_prompt].set(kv["v"]),
+    }
+
+    last_idx = prompt_len - 1  # (B,)
+    take = lambda arr: jnp.take_along_axis(arr, last_idx[:, None, None], axis=1)[:, 0] if arr.ndim == 3 else jnp.take_along_axis(arr, last_idx[:, None], axis=1)[:, 0]
+    last_hidden = take(hidden)  # (B, C)
+    logits0 = jnp.dot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)  # first generated token
+    last_tok = take(input_ids)  # token that generated tok0
+    last_pos = take(position_ids)
+
+    state = {
+        "caches": caches,
+        "tok": tok0,  # token to feed next
+        "prev_tok": last_tok,  # token before it (for the <p> freeze rule)
+        "pos": last_pos,  # position of prev token
+        "write": prompt_len,  # cache slot for the fed token
+        "done": tok0 == eos_token_id,
+    }
+
+    def step(state, _):
+        tok, prev = state["tok"], state["prev_tok"]
+        keep = (prev == bop_token_id) | (tok == eop_token_id)
+        pos = state["pos"] + 1 - keep.astype(state["pos"].dtype)
+        emb_t = params["llm"]["embed_tokens"][tok][:, None, :]  # (B, 1, C)
+        tt = jnp.full((b, 2), LANGUAGE_TOKEN_TYPE, jnp.int32)
+        hidden_t, caches = llm_decode_step(
+            params["llm"], cfg, emb_t, tt, pos[:, None], state["caches"],
+            state["write"], state["write"] + 1,
+        )
+        hidden_t = hidden_t[:, 0]  # (B, C)
+        logits = jnp.dot(hidden_t, params["llm"]["lm_head"]).astype(jnp.float32)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(state["done"], eos_token_id, next_tok)
+        out = {"token": state["tok"], "hidden": hidden_t, "done": state["done"]}
+        new_state = {
+            "caches": caches,
+            "tok": next_tok,
+            "prev_tok": tok,
+            "pos": pos,
+            "write": state["write"] + 1,
+            "done": state["done"] | (next_tok == eos_token_id),
+        }
+        return new_state, out
+
+    state, outs = jax.lax.scan(step, state, None, length=max_new_tokens)
+    tokens = outs["token"].T  # (B, max_new): token fed at each step == generated seq
+    step_hidden = outs["hidden"].transpose(1, 0, 2)  # (B, max_new, C)
+    # align so hidden[:, t] is the state that *produced* tokens[:, t]
+    gen_hidden = jnp.concatenate([last_hidden[:, None], step_hidden[:, :-1]], axis=1)
+    was_done = outs["done"].T  # done *before* each step
+    tokens = jnp.where(was_done, eos_token_id, tokens)
+    num_generated = (~was_done).sum(axis=1)
+    return GenerateResult(tokens, gen_hidden, hidden, num_generated)

@@ -134,7 +134,6 @@ def test_decode_matches_full_forward(tiny):
     }
     for t in range(s_prompt, s_total):
         tt_step = jnp.stack([tt[:, t], jnp.full((b,), LANGUAGE_TOKEN_TYPE)], axis=1)
-        seg_cache = (jnp.arange(smax)[None] < t + 1).astype(jnp.int32)
         hidden, caches = llm_decode_step(
             params["llm"],
             cfg,
@@ -142,8 +141,8 @@ def test_decode_matches_full_forward(tiny):
             tt_step,
             pos[:, t : t + 1],
             caches,
-            jnp.asarray(t),
-            seg_cache,
+            jnp.full((b,), t),
+            jnp.full((b,), t + 1),
         )
         np.testing.assert_allclose(
             np.asarray(hidden[:, 0]), np.asarray(full[:, t]), atol=3e-5,
