@@ -1,0 +1,106 @@
+"""Parameter/batch sharding rules (megatron-style TP + batch DP).
+
+The reference never tensor-parallelizes MMMM itself (NCCL TP exists only in
+its offline vLLM jobs); on TPU the 17-B bf16 model does not fit one v5e chip,
+so TP over the ``model`` mesh axis is first-class here:
+
+  - column-parallel: qkv / mlp-up projections shard the output feature dim;
+  - row-parallel: attention dense / mlp-down shard the input feature dim
+    (XLA inserts the psum);
+  - lm_head sharded over vocab; embeddings replicated (gather-free lookup);
+  - SAM heads + vg_proj are small (<1 GB) and stay replicated;
+  - the batch dim of every input array shards over ``data``.
+
+Rules are regex -> PartitionSpec over flattened ``/``-joined paths, applied to
+arbitrary pytrees (params, LoRA factors, optimizer states mirror params).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _flatten_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths = []
+    for kp, leaf in flat:
+        parts = []
+        for entry in kp:
+            if hasattr(entry, "key"):
+                parts.append(str(entry.key))
+            elif hasattr(entry, "idx"):
+                parts.append(str(entry.idx))
+        paths.append(("/".join(parts), leaf))
+    return paths, treedef
+
+
+# Stacked-layer weights carry a leading L axis, hence the leading None.
+# LoRA factors ("<path>/a" and "<path>/b") inherit sensible TP specs: the "b"
+# factor of a column-parallel weight shards its output dim, the "a" factor of
+# a row-parallel weight shards its input dim.
+DEFAULT_RULES: tuple[tuple[str, P], ...] = (
+    # LLM dual-expert attention
+    (r".*llm/layers/(vis|lang)_qkv$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_qkv/a$", P(None, None, None)),
+    (r".*llm/layers/(vis|lang)_qkv/b$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_dense$", P(None, "model", None)),
+    (r".*llm/layers/(vis|lang)_dense/a$", P(None, "model", None)),
+    (r".*llm/layers/(vis|lang)_dense/b$", P(None, None, None)),
+    # LLM dual-expert MLP
+    (r".*llm/layers/(vis|lang)_mlp/(gate|up)$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_mlp/(gate|up)/a$", P(None, None, None)),
+    (r".*llm/layers/(vis|lang)_mlp/(gate|up)/b$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_mlp/down$", P(None, "model", None)),
+    (r".*llm/layers/(vis|lang)_mlp/down/a$", P(None, "model", None)),
+    (r".*llm/layers/(vis|lang)_mlp/down/b$", P(None, None, None)),
+    # LM head over vocab
+    (r".*llm/lm_head$", P(None, "model")),
+    (r".*llm/lm_head/b$", P(None, "model")),
+    # ViT
+    (r".*vision/layers/(qkv_w|fc1_w)$", P(None, None, "model")),
+    (r".*vision/layers/(qkv_b|fc1_b)$", P(None, "model")),
+    (r".*vision/layers/(qkv_w|fc1_w)/b$", P(None, None, "model")),
+    (r".*vision/layers/(dense_w|fc2_w)$", P(None, "model", None)),
+    (r".*vision/layers/(dense_w|fc2_w)/a$", P(None, "model", None)),
+    (r".*vision/glu/(gate|h4h)$", P(None, "model")),
+    (r".*vision/glu/(gate|h4h)/b$", P(None, "model")),
+    (r".*vision/glu/4hh$", P("model", None)),
+    (r".*vision/glu/4hh/a$", P("model", None)),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionRules:
+    rules: tuple[tuple[str, P], ...] = DEFAULT_RULES
+
+    def spec_for(self, path: str, ndim: int) -> P:
+        for pat, spec in self.rules:
+            if re.match(pat, path):
+                if len(spec) <= ndim:
+                    return spec
+        return P()  # replicate
+
+
+def param_shardings(tree, mesh: Mesh, rules: PartitionRules = PartitionRules()):
+    """NamedSharding pytree mirroring ``tree`` (params / LoRA / opt state)."""
+    flat, treedef = _flatten_paths(tree)
+    shardings = [
+        NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "ndim", 0)))
+        for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard the leading (batch) dim of every array leaf over ``data``."""
+
+    def spec(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+    return jax.tree_util.tree_map(spec, batch)

@@ -1,0 +1,152 @@
+"""The pjit training step: LoRA-merged forward, grad, clip, AdamW update.
+
+Replaces the Lightning/DDP training loop (``mmmm.py:296-352`` + luolib
+trainer): a single pure function jitted over the (data, model) mesh. Parameter
+partitioning follows ``parallel.sharding``; the optimizer state mirrors the
+trainable tree's shardings automatically (ZeRO-style sharding of optimizer
+state comes free once trainable params are sharded).
+
+Precision policy (= ``MyPrecision``, ``mmmm.py:468-492``): master trainable
+params are fp32; the CogVLM subtree is cast to bf16 for the forward, while
+SAM / iSAM / vg_proj compute in fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import MMMMModel
+from ..peft import LoraConfig, lora_init, lora_merge, merge_trainable, split_trainable
+from ..parallel.sharding import batch_shardings, param_shardings
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: dict  # {"lora": ..., "ft": ...}
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.step, self.trainable, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def _cast_vlm_bf16(params: dict) -> dict:
+    out = dict(params)
+    out["cogvlm"] = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params["cogvlm"]
+    )
+    return out
+
+
+def init_train_state(
+    key,
+    model: MMMMModel,
+    optimizer,
+    lora_cfg: LoraConfig,
+    dtype=jnp.float32,
+) -> tuple[TrainState, dict]:
+    """Returns (state, frozen_params)."""
+    params = model.init(key, dtype)
+    lora = lora_init(jax.random.fold_in(key, 1), params, lora_cfg)
+    ft, frozen = split_trainable(params)
+    trainable = {"lora": lora, "ft": ft}
+    opt_state = optimizer.init(trainable)
+    return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen
+
+
+def effective_params(trainable: dict, frozen: dict, lora_cfg: LoraConfig, bf16_vlm: bool) -> dict:
+    base = merge_trainable(trainable["ft"], frozen)
+    if bf16_vlm:
+        base = _cast_vlm_bf16(base)
+    return lora_merge(base, trainable["lora"], lora_cfg)
+
+
+def make_train_step(
+    model: MMMMModel,
+    optimizer,
+    lora_cfg: LoraConfig,
+    *,
+    vg_mode: str = "none",
+    bf16_vlm: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = True,
+    mesh=None,
+    frozen_example: dict | None = None,
+    state_example: TrainState | None = None,
+    batch_example: dict | None = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted step(state, frozen, batch) -> (state, logs).
+
+    With ``mesh`` provided, in/out shardings pin params to the TP layout and
+    the batch to the data axis; otherwise plain jit.
+    """
+
+    def step_fn(state: TrainState, frozen: dict, batch: dict):
+        def loss_fn(trainable):
+            params = effective_params(trainable, frozen, lora_cfg, bf16_vlm)
+            return model.training_step(
+                params, batch, vg_mode=vg_mode, attn_impl=attn_impl, remat=remat
+            )
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, trainable, opt_state)
+        return new_state, logs
+
+    static = {"vg_mode", "patch_size", "pool_size"}
+
+    def split_batch(batch):
+        return (
+            {k: v for k, v in batch.items() if k not in ("patch_size", "pool_size")},
+            batch.get("patch_size"),
+            batch.get("pool_size"),
+        )
+
+    @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,) if donate else ())
+    def jit_step(state, frozen, batch_arrays, patch_size, pool_size):
+        batch = dict(batch_arrays)
+        if patch_size is not None:
+            batch["patch_size"] = patch_size
+            batch["pool_size"] = pool_size
+        return step_fn(state, frozen, batch)
+
+    if mesh is None:
+        def run(state, frozen, batch):
+            arrays, patch, pool = split_batch(batch)
+            return jit_step(state, frozen, arrays, patch, pool)
+        return run
+
+    # sharded path: place inputs explicitly, let jit reuse their shardings
+    def run_sharded(state, frozen, batch):
+        arrays, patch, pool = split_batch(batch)
+        state = jax.device_put(
+            state,
+            TrainState(
+                param_shardings(state.step, mesh),
+                param_shardings(state.trainable, mesh),
+                param_shardings(state.opt_state, mesh),
+            ),
+        )
+        frozen = jax.device_put(frozen, param_shardings(frozen, mesh))
+        arrays = jax.device_put(arrays, batch_shardings(arrays, mesh))
+        return jit_step(state, frozen, arrays, patch, pool)
+
+    return run_sharded
