@@ -114,11 +114,12 @@ def make_train_step(
     static = {"vg_mode", "patch_size", "pool_size"}
 
     def split_batch(batch):
-        return (
-            {k: v for k, v in batch.items() if k not in ("patch_size", "pool_size")},
-            batch.get("patch_size"),
-            batch.get("pool_size"),
-        )
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if k not in ("patch_size", "pool_size") and hasattr(v, "ndim")
+        }
+        return arrays, batch.get("patch_size"), batch.get("pool_size")
 
     @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,) if donate else ())
     def jit_step(state, frozen, batch_arrays, patch_size, pool_size):
