@@ -20,7 +20,7 @@ from typing import Iterable, Iterator
 import numpy as np
 
 from .defs import CE_IGNORE_INDEX
-from .input_builder import extract_vg_positions, pad_to
+from .input_builder import pad_to
 
 
 def seq_bucket(length: int, quant: int = 128, max_len: int | None = None) -> int:
@@ -72,8 +72,16 @@ def collate(
     positions = np.zeros((b, max_targets), np.int64)
     valid = np.zeros((b, max_targets), bool)
     for i, (p, v) in enumerate(zip(points, vlm)):
-        pos, val = extract_vg_positions(v.input_ids, eop_token_id, max_targets)
-        positions[i], valid[i] = pos, val
+        (all_pos,) = np.nonzero(v.input_ids[1:] == eop_token_id)
+        lm = p.get("vg_label_mask")
+        if lm is not None:
+            # grg path: only label-backed prompts participate in grounding
+            sel = all_pos[: len(lm)][lm]
+        else:
+            sel = all_pos
+        sel = sel[:max_targets]
+        positions[i, : len(sel)] = sel
+        valid[i, : len(sel)] = True
     batch["vg_positions"] = positions.astype(np.int32)
 
     if vg_mode == "semantic":
