@@ -1,0 +1,92 @@
+"""Multi-dataset assembly: specs -> data lists -> transform dispatch.
+
+Equivalent of ``MMMMDataset`` (``mmmm/data/dataset/_dataset.py``): an index is
+(dataset_idx, sub_idx); the sample routes through the transform family of the
+dataset's type (local / vl / grg). Produces an infinite transformed-sample
+stream when driven by the weighted sampler.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator
+
+from .defs import Split
+from .grg import GRGTransform, get_grg_data_list
+from .local import DatasetConf, LocalTransform, get_local_data_list
+from .sampling import DatasetSpec as SamplerSpec, WeightedMultiDatasetSampler
+from .tokenizer import MMMMTokenizer
+from .vl import VLTransform, get_vl_data_list
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    type: str  # local | vl | grg
+    dir: str | Path | None = None  # defaults to the processed root / name
+    weight: float = 1.0
+
+
+class MultiDataset:
+    def __init__(
+        self,
+        conf: DatasetConf,
+        specs: list[DatasetSpec],
+        tokenizer: MMMMTokenizer,
+        split: Split = Split.TRAIN,
+        inference: bool = False,
+        seed: int | None = None,
+        target_tax: dict | None = None,
+    ):
+        from .defs import (
+            PROCESSED_LOCAL_DATA_ROOT,
+            PROCESSED_VG_DATA_ROOT,
+            PROCESSED_VL_DATA_ROOT,
+        )
+
+        roots = {
+            "local": PROCESSED_LOCAL_DATA_ROOT,
+            "vl": PROCESSED_VL_DATA_ROOT,
+            "grg": PROCESSED_VG_DATA_ROOT,
+        }
+        self.conf = conf
+        self.specs = specs
+        self.data_lists = []
+        for spec in specs:
+            d = Path(spec.dir) if spec.dir else roots[spec.type] / spec.name
+            if spec.type == "local":
+                self.data_lists.append(get_local_data_list(d, split))
+            elif spec.type == "vl":
+                self.data_lists.append(get_vl_data_list(d, split))
+            elif spec.type == "grg":
+                self.data_lists.append(get_grg_data_list(d, split))
+            else:
+                raise ValueError(spec.type)
+        self.transforms = {}
+        if any(s.type == "local" for s in specs):
+            self.transforms["local"] = LocalTransform(conf, tokenizer, inference, target_tax, seed)
+        if any(s.type == "vl" for s in specs):
+            self.transforms["vl"] = VLTransform(conf, tokenizer, inference, target_tax, seed)
+        if any(s.type == "grg" for s in specs):
+            self.transforms["grg"] = GRGTransform(conf, tokenizer, inference, seed)
+
+    def sizes(self) -> list[int]:
+        return [len(dl) for dl in self.data_lists]
+
+    def get(self, dataset_idx: int, sub_idx: int) -> dict:
+        spec = self.specs[dataset_idx]
+        return self.transforms[spec.type](self.data_lists[dataset_idx][sub_idx])
+
+    def stream(
+        self, num_samples: int, seed: int = 42, rank: int = 0, world_size: int = 1
+    ) -> Iterator[dict]:
+        sampler = WeightedMultiDatasetSampler(
+            [SamplerSpec(s.name, s.weight) for s in self.specs],
+            self.sizes(),
+            num_samples,
+            seed=seed,
+            rank=rank,
+            world_size=world_size,
+        )
+        for ds, sub in sampler:
+            yield self.get(ds, sub)

@@ -75,6 +75,8 @@ class DatasetConf:
     max_targets: int = 8  # static grounded-target axis
     max_instances: int = 16  # static instance-label axis
     local_trans: LocalTransConf = dataclasses.field(default_factory=LocalTransConf)
+    vl_trans: object | None = None  # VLTransConf (set for vl datasets)
+    grg_trans: object | None = None  # GRGTransConf (set for grg datasets)
 
     @property
     def stride_xy(self) -> int:
