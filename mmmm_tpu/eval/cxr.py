@@ -1,0 +1,105 @@
+"""CXR report metrics: CheXpert-14 condition F1 / FNR.
+
+The reference scores reports with the CheXbert BERT labeler + RadGraph +
+RadCliQ composites (``scripts/evaluate/utils.py:310-564``), all of which
+require downloaded model checkpoints. This module provides:
+
+  - the metric *math* (per-condition and micro/macro F1, FNR over the
+    CheXpert-5 subset) over any labeler's output;
+  - ``KeywordChexpertLabeler``: a dependency-free negation-aware keyword
+    labeler for the 14 CheXpert conditions, used as the offline fallback;
+  - a pluggable ``labeler`` hook so a real CheXbert (or RadBERT for CT) model
+    can be swapped in when its checkpoint is on disk.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+CHEXPERT_CONDITIONS = [
+    "Enlarged Cardiomediastinum", "Cardiomegaly", "Lung Opacity", "Lung Lesion",
+    "Edema", "Consolidation", "Pneumonia", "Atelectasis", "Pneumothorax",
+    "Pleural Effusion", "Pleural Other", "Fracture", "Support Devices", "No Finding",
+]
+CHEXPERT_5 = ["Cardiomegaly", "Edema", "Consolidation", "Atelectasis", "Pleural Effusion"]
+
+_KEYWORDS = {
+    "Enlarged Cardiomediastinum": ["enlarged cardiomediastinum", "widened mediastinum", "mediastinal widening"],
+    "Cardiomegaly": ["cardiomegaly", "enlarged heart", "cardiac enlargement", "enlarged cardiac silhouette"],
+    "Lung Opacity": ["opacity", "opacities", "opacification"],
+    "Lung Lesion": ["lesion", "mass", "nodule"],
+    "Edema": ["edema", "oedema", "vascular congestion"],
+    "Consolidation": ["consolidation"],
+    "Pneumonia": ["pneumonia", "infection", "infectious process"],
+    "Atelectasis": ["atelectasis", "atelectatic", "collapse of the lung", "volume loss"],
+    "Pneumothorax": ["pneumothorax", "pneumothoraces"],
+    "Pleural Effusion": ["pleural effusion", "effusion", "pleural fluid"],
+    "Pleural Other": ["pleural thickening", "pleural scarring", "fibrothorax"],
+    "Fracture": ["fracture", "fractures"],
+    "Support Devices": [
+        "tube", "catheter", "pacemaker", "line", "device", "wire", "valve", "stent", "port",
+    ],
+}
+_NEGATIONS = [
+    "no ", "not ", "without ", "free of ", "negative for ", "clear of ",
+    "resolved", "absence of ", "ruled out", "rather than",
+]
+
+
+class KeywordChexpertLabeler:
+    """Sentence-level keyword labeler with negation scoping (fallback only)."""
+
+    def __call__(self, report: str) -> np.ndarray:
+        text = report.lower()
+        sentences = re.split(r"[.;\n]", text)
+        labels = np.zeros(len(CHEXPERT_CONDITIONS), np.int64)
+        any_pos = False
+        for cond_i, cond in enumerate(CHEXPERT_CONDITIONS[:-1]):
+            for sent in sentences:
+                hit = any(k in sent for k in _KEYWORDS[cond])
+                if not hit:
+                    continue
+                negated = any(n in sent for n in _NEGATIONS)
+                if not negated:
+                    labels[cond_i] = 1
+                    any_pos = True
+                    break
+        labels[-1] = 0 if any_pos else 1  # No Finding
+        return labels
+
+
+class CXRMetrics:
+    """Labeler-based report scoring (CheXbert-14 F1/FNR equivalents)."""
+
+    def __init__(self, labeler=None):
+        self.labeler = labeler or KeywordChexpertLabeler()
+
+    def label_all(self, reports: list[str]) -> np.ndarray:
+        return np.stack([self.labeler(r) for r in reports])
+
+    def compute(self, predictions: list[str], references: list[str]) -> dict[str, float]:
+        y_pred = self.label_all(predictions)
+        y_true = self.label_all(references)
+        out: dict[str, float] = {}
+
+        def f1(p, t):
+            tp = int(((p == 1) & (t == 1)).sum())
+            fp = int(((p == 1) & (t == 0)).sum())
+            fn = int(((p == 0) & (t == 1)).sum())
+            denom = 2 * tp + fp + fn
+            return 2 * tp / denom if denom else 0.0
+
+        per_cond = [f1(y_pred[:, i], y_true[:, i]) for i in range(len(CHEXPERT_CONDITIONS))]
+        out["chexpert_macro_f1_14"] = float(np.mean(per_cond))
+        tp = int(((y_pred == 1) & (y_true == 1)).sum())
+        fp = int(((y_pred == 1) & (y_true == 0)).sum())
+        fn = int(((y_pred == 0) & (y_true == 1)).sum())
+        out["chexpert_micro_f1_14"] = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+        idx5 = [CHEXPERT_CONDITIONS.index(c) for c in CHEXPERT_5]
+        per5 = [per_cond[i] for i in idx5]
+        out["chexpert_macro_f1_5"] = float(np.mean(per5))
+        fn5 = int(((y_pred[:, idx5] == 0) & (y_true[:, idx5] == 1)).sum())
+        pos5 = int((y_true[:, idx5] == 1).sum())
+        out["chexpert_fnr_5"] = fn5 / pos5 if pos5 else 0.0
+        return out

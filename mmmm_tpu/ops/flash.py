@@ -37,9 +37,12 @@ def _fwd_kernel(
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        kseg = kseg_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.int32)
+        # offsets are multiples of block_k (a multiple of 128) — Mosaic needs
+        # the lane-dim alignment to be statically provable
+        off = pl.multiple_of(kb * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(off, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(off, block_k), :].astype(jnp.float32)
+        kseg = kseg_ref[0, 0, pl.ds(off, block_k)].astype(jnp.int32)
         s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
@@ -155,7 +158,12 @@ def flash_segment_attention(
     block_q: int = 128,
     block_k: int = 128,
 ) -> jnp.ndarray:
-    """Flash attention entry point; see ``segment_attention`` for the contract."""
-    block_q = min(block_q, -(-q.shape[1] // 8) * 8)
-    block_k = min(block_k, -(-k.shape[1] // 8) * 8)
+    """Flash attention entry point; see ``segment_attention`` for the contract.
+
+    Block sizes stay multiples of 128: Mosaic requires dynamic lane-dim offsets
+    to be provably 128-aligned, so shorter sequences are padded up rather than
+    shrinking the block.
+    """
+    if block_q % 128 or block_k % 128:
+        raise ValueError(f"block sizes must be multiples of 128, got {block_q}, {block_k}")
     return _flash(q, k, v, q_segments, kv_segments, causal, scale, block_q, block_k)

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Interactive / scripted grounded inference (``scripts/demo.py`` equivalent).
+
+Loads a model config (+ optional imported torch checkpoint and adapter), runs
+one image + question through grounded greedy generation, and prints the
+report with any grounded targets (mask volumes / boxes summarized).
+
+Usage:
+    python scripts/demo.py -c conf/tiny/fit.yaml --image path.png \
+        --question "Please write a radiology report for this image." \
+        [--adapter runs/tiny/adapter.npz] [--max-new-tokens 256] [--instance]
+
+Without ``--image`` a synthetic image is used (pipeline smoke test).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_model(config_path: str, adapter: str | None):
+    from cli import build_model, build_tokenizer
+    from mmmm_tpu.config import load_yaml
+    from mmmm_tpu.peft import LoraConfig, lora_merge, merge_trainable
+    from mmmm_tpu.config import build
+
+    cfg = load_yaml(config_path)
+    tokenizer = build_tokenizer(cfg.get("tokenizer"))
+    model = build_model(cfg.get("model"), tokenizer)
+    params = model.init(jax.random.PRNGKey(0))
+    if adapter:
+        from mmmm_tpu.train.checkpoint import load_adapter
+        from mmmm_tpu.peft import split_trainable
+
+        trainable = load_adapter(adapter)
+        _, frozen = split_trainable(params)
+        params = merge_trainable(trainable["ft"], frozen)
+        lora_cfg = build(LoraConfig, cfg.get("lora") or {})
+        params = lora_merge(params, trainable["lora"], lora_cfg)
+        params = jax.tree.map(jnp.asarray, params)
+    return model, params, tokenizer, cfg
+
+
+def prepare_image(path: str | None, conf):
+    from mmmm_tpu.data.transforms import (
+        divisible_pad, ensure_rgb, get_max_resize, get_patch_size_z, intensity_norm, resize_3d,
+    )
+    from mmmm_tpu.data.vl import load_image_any
+
+    if path:
+        image = load_image_any(path).astype(np.float32) / 255.0
+    else:
+        image = np.random.default_rng(0).uniform(size=(1, 1, 64, 64)).astype(np.float32)
+    lt = conf.local_trans
+    size_z = image.shape[1]
+    patch_size_z, pool_size_z, stride_z, tokens_z = get_patch_size_z(
+        conf.base_vit_patch_size_z, conf.base_pool_size_z, size_z, lt.max_tokens_z
+    )
+    stride = (stride_z, conf.stride_xy, conf.stride_xy)
+    resize = (
+        min(size_z, tokens_z * stride_z),
+        *get_max_resize(image.shape[2:], conf.stride_xy, lt.max_vision_tokens // tokens_z),
+    )
+    image = resize_3d(image, resize)
+    image, _ = divisible_pad(image, stride)
+    image = ensure_rgb(image)
+    grounding_image = image
+    image = intensity_norm(image)
+    patch = (patch_size_z, conf.vit_patch_size_xy, conf.vit_patch_size_xy)
+    pool = (pool_size_z, conf.pool_size_xy, conf.pool_size_xy)
+    n_tokens = int(np.prod([s // st for s, st in zip(image.shape[1:], stride)]))
+    return image, grounding_image, patch, pool, n_tokens
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--adapter")
+    parser.add_argument("--image")
+    parser.add_argument("--question", default="Please write a radiology report for this image.")
+    parser.add_argument("--max-new-tokens", type=int, default=256)
+    parser.add_argument("--grounding", action="store_true", default=True)
+    parser.add_argument("--instance", action="store_true")
+    args = parser.parse_args(argv)
+
+    from mmmm_tpu.data import ConvTurn
+    from mmmm_tpu.data.input_builder import prepare_vlm_inputs
+    from mmmm_tpu.models.inference import generate_grounded
+
+    model, params, tokenizer, cfg = load_model(args.config, args.adapter)
+    dconf_dict = (cfg.get("data") or {}).get("conf") or {}
+    from mmmm_tpu.config import build
+    from mmmm_tpu.data.local import DatasetConf
+
+    dconf = build(DatasetConf, dconf_dict)
+    image, grounding_image, patch, pool, n_tokens = prepare_image(args.image, dconf)
+
+    inputs, _ = prepare_vlm_inputs(
+        [ConvTurn(args.question, "")], tokenizer, n_tokens,
+        inference=True, grounding=args.grounding,
+    )
+    res = generate_grounded(
+        params,
+        model.cfg,
+        tokenizer,
+        jnp.asarray(inputs.input_ids)[None],
+        jnp.asarray(inputs.token_type_ids)[None],
+        jnp.asarray(inputs.position_ids)[None],
+        jnp.asarray([len(inputs.input_ids)]),
+        jnp.asarray(image)[None],
+        patch,
+        pool,
+        max_new_tokens=args.max_new_tokens,
+        grounding_image=jnp.asarray(grounding_image)[None],
+        instance=args.instance,
+    )
+    print("=== generated ===")
+    print(res.text[0])
+    print("=== grounded targets ===")
+    print(res.targets[0])
+    if res.masks is not None and res.target_valid is not None and res.target_valid.any():
+        probs = 1 / (1 + np.exp(-res.masks[0]))
+        for i in range(int(res.target_valid[0].sum())):
+            vox = int((probs[i] > 0.5).sum())
+            print(f"target {i}: mask voxels>0.5 = {vox}")
+    if res.boxes is not None and res.target_valid is not None and res.target_valid.any():
+        disc = 1 / (1 + np.exp(-res.disc_logit[0]))
+        for i in range(int(res.target_valid[0].sum())):
+            best = int(np.argmax(disc[i]))
+            print(f"target {i}: best instance p={disc[i, best]:.3f} box={np.round(res.boxes[0, i, best], 3)}")
+
+
+if __name__ == "__main__":
+    main()

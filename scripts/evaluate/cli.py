@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Evaluation CLI: ``predict`` runs a model over a VQA/report test set to CSV;
+``evaluate`` scores a CSV with a metric suite.
+
+Equivalent surface to the reference evaluator (``scripts/evaluate/cli.py``):
+
+    python scripts/evaluate/cli.py predict -c conf/tiny/fit.yaml \
+        --task vqa --dataset-dir <processed/VQA-RAD> --output pred.csv
+    python scripts/evaluate/cli.py evaluate --task vqa --input pred.csv
+
+Metric suites: ``generic`` (BLEU/ROUGE/METEOR/EM, native implementations) and
+``cxr`` (CheXpert-14 F1/FNR via the pluggable labeler). Model-backed suites
+(BERTScore, CheXbert, RadGraph, LLM judge) activate when their checkpoints are
+available locally.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def iter_vqa_items(dataset_dir: Path, limit=None):
+    data = json.loads((dataset_dir / "test.json").read_text())
+    count = 0
+    for x in data:
+        for vqa in x.get("vqa", []):
+            for image in x["image"]:
+                yield {"image": image, "question": vqa["question"], "answer": vqa["answer"]}
+                count += 1
+                if limit and count >= limit:
+                    return
+
+
+def iter_report_items(dataset_dir: Path, name: str, limit=None):
+    data = json.loads((dataset_dir / "test-processed.json").read_text())
+    count = 0
+    for x in data:
+        for i, image in enumerate(x["image"]):
+            if name == "MIMIC-CXR" and x.get("plane") and x["plane"][i] not in ("AP", "PA"):
+                continue
+            yield {
+                "image": image,
+                "question": "Please write a radiology report for me:",
+                "answer": x["processed_report"],
+            }
+            count += 1
+            if limit and count >= limit:
+                return
+
+
+def cmd_predict(args):
+    from demo import load_model, prepare_image
+
+    from mmmm_tpu.config import build, load_yaml
+    from mmmm_tpu.data import ConvTurn
+    from mmmm_tpu.data.input_builder import prepare_vlm_inputs
+    from mmmm_tpu.data.local import DatasetConf
+    from mmmm_tpu.models.inference import generate_grounded
+
+    model, params, tokenizer, cfg = load_model(args.config, args.adapter)
+    dconf = build(DatasetConf, (cfg.get("data") or {}).get("conf") or {})
+    dataset_dir = Path(args.dataset_dir)
+    if args.task == "vqa":
+        items = iter_vqa_items(dataset_dir, args.limit)
+    else:
+        items = iter_report_items(dataset_dir, dataset_dir.name, args.limit)
+
+    rows = []
+    for item in items:
+        img_path = dataset_dir / item["image"] if not Path(item["image"]).is_absolute() else Path(item["image"])
+        image, _, patch, pool, n_tokens = prepare_image(str(img_path), dconf)
+        inputs, _ = prepare_vlm_inputs(
+            [ConvTurn(item["question"], "")], tokenizer, n_tokens,
+            inference=True, grounding=False,
+        )
+        res = generate_grounded(
+            params, model.cfg, tokenizer,
+            jnp.asarray(inputs.input_ids)[None],
+            jnp.asarray(inputs.token_type_ids)[None],
+            jnp.asarray(inputs.position_ids)[None],
+            jnp.asarray([len(inputs.input_ids)]),
+            jnp.asarray(image)[None], patch, pool,
+            max_new_tokens=args.max_new_tokens,
+        )
+        rows.append({"question": item["question"], "answer": item["answer"], "prediction": res.text[0]})
+        print(f"[{len(rows)}] {res.text[0][:60]!r}", flush=True)
+    with open(args.output, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["question", "answer", "prediction"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {len(rows)} predictions to {args.output}")
+
+
+def cmd_evaluate(args):
+    from mmmm_tpu.eval import CXRMetrics, GenericMetrics
+
+    with open(args.input) as f:
+        rows = list(csv.DictReader(f))
+    predictions = [r["prediction"] for r in rows]
+    references = [r["answer"] for r in rows]
+    suite = {}
+    if args.suite in ("generic", "all"):
+        suite.update(GenericMetrics().compute_all(predictions, references))
+    if args.suite in ("cxr", "all"):
+        suite.update(CXRMetrics().compute(predictions, references))
+    out = {k: round(v, 4) for k, v in suite.items()}
+    print(json.dumps(out, indent=2))
+    if args.output:
+        Path(args.output).write_text(json.dumps(out, indent=2))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="command", required=True)
+    p = sub.add_parser("predict")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--adapter")
+    p.add_argument("--task", choices=["vqa", "report"], required=True)
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.set_defaults(func=cmd_predict)
+    e = sub.add_parser("evaluate")
+    e.add_argument("--task", choices=["vqa", "report"], default="report")
+    e.add_argument("--input", required=True)
+    e.add_argument("--suite", choices=["generic", "cxr", "all"], default="all")
+    e.add_argument("--output")
+    e.set_defaults(func=cmd_evaluate)
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
