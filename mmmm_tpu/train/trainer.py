@@ -42,6 +42,11 @@ class TrainerConfig:
     remat: bool = True
     attn_impl: str = "auto"
     keep_ckpts: int | None = None
+    # jax.profiler trace window [start, end) in steps; traces land in
+    # <out_dir>/profile for xprof/tensorboard (SURVEY aux #1: the reference has
+    # no tracing at all; here it is first-class)
+    profile_start: int | None = None
+    profile_steps: int = 3
 
 
 class Trainer:
@@ -122,13 +127,21 @@ class Trainer:
 
         step_i = start_step
         t0 = time.time()
+        profiling = False
         for batch in batcher(stream):
             if step_i >= cfg.max_steps:
                 break
+            if cfg.profile_start is not None and step_i == cfg.profile_start:
+                jax.profiler.start_trace(str(self.out_dir / "profile"))
+                profiling = True
             mode = batch.pop("vg_mode")
             batch.pop("src", None)
             state, logs = self.steps[mode](state, frozen, batch)
             step_i += 1
+            if profiling and step_i >= cfg.profile_start + cfg.profile_steps:
+                jax.tree.map(lambda x: x.block_until_ready(), logs)
+                jax.profiler.stop_trace()
+                profiling = False
             if step_i % cfg.log_every == 0 or step_i == cfg.max_steps:
                 logs = jax.device_get(logs)
                 dt = time.time() - t0
