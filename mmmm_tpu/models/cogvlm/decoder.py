@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import apply_rope, decode_attention, rms_norm, rope_cos_sin, segment_attention
+from ...ops.remat import remat_policy
 from .config import CogVLMConfig
 
 VISION_TOKEN_TYPE = 1
@@ -159,7 +160,7 @@ def llm_forward(
         return h_new, kv if return_kv else None
 
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=remat_policy(remat))
     x, kv = jax.lax.scan(body, inputs_embeds, params["layers"])
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if return_kv:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import layer_norm, segment_attention
+from ...ops.remat import remat_policy
 from ...ops.resample import resample_nd, variable_patch_embed_3d
 from .config import CogVLMConfig, VisionConfig
 
@@ -117,7 +118,7 @@ def vit_forward(
         _vit_layer, num_heads=v.num_heads, eps=v.layer_norm_eps, segments=segments, attn_impl=attn_impl
     )
     if remat:
-        layer = jax.checkpoint(layer)
+        layer = jax.checkpoint(layer, policy=remat_policy(remat))
 
     def scan_body(h, lp):
         return layer(h, lp), None

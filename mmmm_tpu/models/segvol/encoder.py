@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import layer_norm, segment_attention
+from ...ops.remat import remat_policy
 from ...ops.resample import resample_nd, variable_patch_embed_3d
 from .config import SamConfig
 
@@ -81,7 +82,7 @@ def encoder_forward(
     segments = jnp.ones((b, x.shape[1]), jnp.int32)
     block = partial(_block, num_heads=cfg.encoder_num_heads, segments=segments, attn_impl=attn_impl)
     if remat:
-        block = jax.checkpoint(block)
+        block = jax.checkpoint(block, policy=remat_policy(remat))
     x, _ = jax.lax.scan(lambda h, lp: (block(h, lp), None), x, params["layers"])
     x = layer_norm(x, params["norm_w"], params["norm_b"])
     return x.transpose(0, 2, 1).reshape(b, c, gd, gh, gw)

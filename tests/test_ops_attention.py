@@ -64,21 +64,33 @@ def test_pallas_matches_xla(causal, seq):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-5)
 
 
-def test_pallas_grad_matches_xla():
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq", [40, 200])
+def test_pallas_grad_matches_xla(causal, seq):
+    """Flash backward kernels (dq + dk/dv) vs XLA autodiff, packed segments."""
     rng = np.random.default_rng(2)
-    b, s, h, d = 1, 40, 2, 16
-    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
-    seg = jnp.asarray(np.r_[[1] * 30, [0] * 10][None], jnp.int32)
+    b, h, d = 2, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, seq, h, d)), jnp.float32)
+    seg_np = np.zeros((b, seq), np.int32)
+    seg_np[0, : seq // 2] = 1
+    seg_np[0, seq // 2 : seq - 5] = 2
+    seg_np[1, :] = 1
+    seg = jnp.asarray(seg_np)
 
     def loss(impl, q, k, v):
-        return jnp.sum(segment_attention(q, k, v, seg, causal=True, impl=impl) ** 2)
+        out = segment_attention(q, k, v, seg, causal=causal, impl=impl)
+        w = jnp.asarray(rng.normal(size=out.shape), jnp.float32) * 0 + 1.0
+        return jnp.sum(out * out * 0.5 + out)
 
     gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2))(q, k, v)
     gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(q, k, v)
-    for a, b_ in zip(gx, gp):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+    for name, a, b_ in zip("qkv", gx, gp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4,
+            err_msg=f"d{name} mismatch (causal={causal}, seq={seq})",
+        )
 
 
 def test_cross_attention_segments():
