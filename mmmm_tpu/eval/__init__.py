@@ -1,5 +1,7 @@
 from .metrics import GenericMetrics, bleu, rouge_l, rouge_n, meteor, exact_match
 from .cxr import CXRMetrics, KeywordChexpertLabeler, CHEXPERT_CONDITIONS
+from .ct import CTMetrics, KeywordCTLabeler, CT_CONDITIONS
+from .judge import LLMJudge
 
 __all__ = [
     "GenericMetrics",
@@ -11,4 +13,8 @@ __all__ = [
     "CXRMetrics",
     "KeywordChexpertLabeler",
     "CHEXPERT_CONDITIONS",
+    "CTMetrics",
+    "KeywordCTLabeler",
+    "CT_CONDITIONS",
+    "LLMJudge",
 ]
