@@ -96,12 +96,30 @@ def _decoder_layer(
     sin,
     attn_impl: str,
     cache=None,  # optional (k_cache, v_cache, cache_index) for decode
+    lang_only: bool = False,
 ):
+    """One visual-expert decoder layer.
+
+    ``lang_only=True`` statically drops the vision-expert matmuls: during
+    decode the expert mask is provably all-False (a token is vision-typed only
+    if its *successor* is vision-typed, and every generated token is
+    language-typed — ``modeling_cogvlm.py:62-64``), so reading the vision
+    expert's weights would only burn HBM bandwidth.
+    """
     b, s, c = x.shape
     h, d = cfg.num_attention_heads, cfg.head_dim
+    if lang_only:
+        dual = lambda t, wv, wl: jnp.dot(t, wl)
+        mlp = lambda t: jnp.dot(
+            jax.nn.silu(jnp.dot(t, lp["lang_mlp"]["gate"])) * jnp.dot(t, lp["lang_mlp"]["up"]),
+            lp["lang_mlp"]["down"],
+        )
+    else:
+        dual = lambda t, wv, wl: _dual(t, wv, wl, vis_mask)
+        mlp = lambda t: _expert_mlp(t, lp["vis_mlp"], lp["lang_mlp"], vis_mask)
     residual = x
     x = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-    qkv = _dual(x, lp["vis_qkv"], lp["lang_qkv"], vis_mask)
+    qkv = dual(x, lp["vis_qkv"], lp["lang_qkv"])
     q, k, v = [t.reshape(b, s, h, d) for t in jnp.split(qkv, 3, axis=-1)]
     q, k = apply_rope(q, k, cos, sin, position_ids)
     if cache is None:
@@ -117,11 +135,11 @@ def _decoder_layer(
         ctx = decode_attention(q, k_cache, v_cache, valid)
         new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
-    attn_out = _dual(ctx, lp["vis_dense"], lp["lang_dense"], vis_mask)
+    attn_out = dual(ctx, lp["vis_dense"], lp["lang_dense"])
     x = residual + attn_out
     residual = x
     x = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    x = residual + _expert_mlp(x, lp["vis_mlp"], lp["lang_mlp"], vis_mask)
+    x = residual + mlp(x)
     return x, new_cache
 
 
@@ -180,12 +198,10 @@ def llm_decode_step(
 ):
     """Single-token decode against static KV caches; returns (hidden, caches).
 
-    ``token_type_ids`` carries (type[t], type[t+1]=LANGUAGE) so the expert mask
-    matches the full-sequence rule. During generation all new tokens are
-    language-typed, so the mask is False — but the prompt's last token is
-    handled by the prefill.
+    The expert mask for a decoded token is provably all-False (its successor
+    is always language-typed), so the layer statically runs the language
+    expert only — halving per-step weight reads (``lang_only=True``).
     """
-    vis_mask = vision_expert_mask(token_type_ids)[:, :1]
     cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
     x = inputs_embeds
 
@@ -195,13 +211,14 @@ def llm_decode_step(
             x,
             lp,
             cfg=cfg,
-            vis_mask=vis_mask,
+            vis_mask=None,
             segments=None,
             position_ids=position_ids,
             cos=cos,
             sin=sin,
             attn_impl="xla",
             cache=(k_cache, v_cache, write_index, kv_len),
+            lang_only=True,
         )
         return out, (k_new, v_new)
 
