@@ -49,34 +49,12 @@ def load_model(config_path: str, adapter: str | None):
 
 
 def prepare_image(path: str | None, conf):
-    from mmmm_tpu.data.transforms import (
-        divisible_pad, ensure_rgb, get_max_resize, get_patch_size_z, intensity_norm, resize_3d,
-    )
-    from mmmm_tpu.data.vl import load_image_any
+    from mmmm_tpu.data.infer_transform import image_transform
 
     if path:
-        image = load_image_any(path).astype(np.float32) / 255.0
-    else:
-        image = np.random.default_rng(0).uniform(size=(1, 1, 64, 64)).astype(np.float32)
-    lt = conf.local_trans
-    size_z = image.shape[1]
-    patch_size_z, pool_size_z, stride_z, tokens_z = get_patch_size_z(
-        conf.base_vit_patch_size_z, conf.base_pool_size_z, size_z, lt.max_tokens_z
-    )
-    stride = (stride_z, conf.stride_xy, conf.stride_xy)
-    resize = (
-        min(size_z, tokens_z * stride_z),
-        *get_max_resize(image.shape[2:], conf.stride_xy, lt.max_vision_tokens // tokens_z),
-    )
-    image = resize_3d(image, resize)
-    image, _ = divisible_pad(image, stride)
-    image = ensure_rgb(image)
-    grounding_image = image
-    image = intensity_norm(image)
-    patch = (patch_size_z, conf.vit_patch_size_xy, conf.vit_patch_size_xy)
-    pool = (pool_size_z, conf.pool_size_xy, conf.pool_size_xy)
-    n_tokens = int(np.prod([s // st for s, st in zip(image.shape[1:], stride)]))
-    return image, grounding_image, patch, pool, n_tokens
+        return image_transform(path, conf)
+    synthetic = (np.random.default_rng(0).uniform(0, 255, size=(1, 1, 64, 64))).astype(np.uint8)
+    return image_transform(synthetic, conf)
 
 
 def main(argv=None):

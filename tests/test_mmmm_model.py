@@ -97,3 +97,33 @@ def test_training_step_instance_boxes(model_and_params):
     isam_leaves = jax.tree.leaves(grads["isam"])
     assert all(np.isfinite(np.asarray(g)).all() for g in isam_leaves)
     assert float(sum(jnp.sum(jnp.abs(g)) for g in isam_leaves)) > 0
+
+
+def test_training_step_instance_with_masks(model_and_params):
+    """CT-RATE grg path: instance mode with pseudo-mask labels (matching on
+    downsampled masks, full-res mask loss)."""
+    model, params = model_and_params
+    b, n, lmax = 2, 3, 6
+    rng = np.random.default_rng(3)
+    batch = _vlm_batch(model.cfg)
+    batch.update(
+        grounding_image=jnp.ones((b, 3, 4, 16, 16), jnp.float32),
+        vg_positions=jnp.asarray([[5, 9, 0], [7, 0, 0]], jnp.int32),
+        vg_valid=jnp.asarray([[True, True, False], [True, False, False]]),
+        boxes_label=jnp.asarray(rng.uniform(0.2, 0.8, size=(b, lmax, 6)), jnp.float32),
+        index_offsets=jnp.asarray(
+            [[[0, 2], [2, 3], [0, 0]], [[0, 1], [0, 0], [0, 0]]], jnp.int32
+        ),
+        masks_label=jnp.asarray(rng.uniform(size=(b, lmax, 4, 16, 16)) > 0.8),
+    )
+    loss, log = model.training_step(params, batch, vg_mode="instance", attn_impl="xla")
+    assert np.isfinite(float(loss))
+    assert "vg/instance-mask-pos" in log
+
+    grads = jax.grad(
+        lambda p: model.training_step(p, batch, vg_mode="instance", attn_impl="xla")[0]
+    )(params)
+    gn = float(
+        jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads["isam"])))
+    )
+    assert gn > 0 and np.isfinite(gn)
