@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import apply_rope, decode_attention, rms_norm, rope_cos_sin, segment_attention
+from ...ops.attention import decode_attention_bhsd
 from ...ops.remat import remat_policy
 from .config import CogVLMConfig
 
@@ -126,13 +127,16 @@ def _decoder_layer(
         ctx = segment_attention(q, k, v, segments, causal=True, impl=attn_impl)
         new_cache = (k, v)
     else:
+        # caches live in the decode-friendly (B, H, Smax, D) layout
         k_cache, v_cache, write_index, kv_len = cache  # write_index/kv_len: (B,)
-        upd = jax.vmap(lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=0))
-        k_cache = upd(k_cache, k, write_index)
-        v_cache = upd(v_cache, v, write_index)
-        smax = k_cache.shape[1]
+        upd = jax.vmap(  # per sample: (H, Smax, D) updated at axis 1
+            lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+        )
+        k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
+        v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
+        smax = k_cache.shape[2]
         valid = jnp.arange(smax)[None, :] < kv_len[:, None]
-        ctx = decode_attention(q, k_cache, v_cache, valid)
+        ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
         new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
     attn_out = dual(ctx, lp["vis_dense"], lp["lang_dense"])
@@ -192,7 +196,7 @@ def llm_decode_step(
     inputs_embeds: jnp.ndarray,  # (B, 1, C)
     token_type_ids: jnp.ndarray,  # (B, 2): (current, next) types for the expert quirk
     position_ids: jnp.ndarray,  # (B, 1)
-    kv_caches: dict,  # {"k": (L, B, Smax, H, D), "v": (L, B, Smax, H, D)}
+    kv_caches: list,  # per-layer [(k (B, H, Smax, D), v (B, H, Smax, D)), ...]
     write_index: jnp.ndarray,  # (B,) cache slot for this token
     kv_len: jnp.ndarray,  # (B,) number of valid slots including this token
 ):
@@ -201,13 +205,19 @@ def llm_decode_step(
     The expert mask for a decoded token is provably all-False (its successor
     is always language-typed), so the layer statically runs the language
     expert only — halving per-step weight reads (``lang_only=True``).
+
+    ``kv_caches`` is a per-layer list of (k, v) pairs, each (B, H, Smax, D):
+    the layer loop is unrolled (not scanned) so every cache update is a
+    single aliasable dynamic-update-slice — a stacked scan would copy the
+    whole cache into fresh stacked outputs every step.
     """
     cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
     x = inputs_embeds
 
-    def body(x, layer_inputs):
-        lp, k_cache, v_cache = layer_inputs
-        out, (k_new, v_new) = _decoder_layer(
+    new_caches = []
+    for li, (k_cache, v_cache) in enumerate(kv_caches):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        x, (k_new, v_new) = _decoder_layer(
             x,
             lp,
             cfg=cfg,
@@ -220,8 +230,6 @@ def llm_decode_step(
             cache=(k_cache, v_cache, write_index, kv_len),
             lang_only=True,
         )
-        return out, (k_new, v_new)
-
-    x, (k_caches, v_caches) = jax.lax.scan(body, x, (params["layers"], kv_caches["k"], kv_caches["v"]))
+        new_caches.append((k_new, v_new))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return x, {"k": k_caches, "v": v_caches}
+    return x, new_caches

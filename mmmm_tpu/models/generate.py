@@ -65,10 +65,18 @@ def greedy_generate(
         attn_impl=attn_impl, return_kv=True,
     )
     l, _, _, h, d = kv["k"].shape
-    caches = {
-        "k": jnp.zeros((l, b, smax, h, d), kv["k"].dtype).at[:, :, :s_prompt].set(kv["k"]),
-        "v": jnp.zeros((l, b, smax, h, d), kv["v"].dtype).at[:, :, :s_prompt].set(kv["v"]),
-    }
+    # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout + an
+    # unrolled layer loop keeps every update a single aliasable DUS
+    k0 = jnp.swapaxes(kv["k"], 2, 3)  # (L, B, H, S_prompt, D)
+    v0 = jnp.swapaxes(kv["v"], 2, 3)
+    pad = jnp.zeros((b, h, smax - s_prompt, d), kv["k"].dtype)
+    caches = [
+        (
+            jnp.concatenate([k0[li], pad], axis=2),
+            jnp.concatenate([v0[li], pad], axis=2),
+        )
+        for li in range(l)
+    ]
 
     last_idx = prompt_len - 1  # (B,)
     take = lambda arr: jnp.take_along_axis(arr, last_idx[:, None, None], axis=1)[:, 0] if arr.ndim == 3 else jnp.take_along_axis(arr, last_idx[:, None], axis=1)[:, 0]

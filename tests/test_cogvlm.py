@@ -126,12 +126,16 @@ def test_decode_matches_full_forward(tiny):
         np.asarray(prefill), np.asarray(full[:, :s_prompt]), atol=2e-5
     )
 
-    # pad caches to smax and decode the remaining tokens one by one
+    # pad caches to smax (per-layer (B, H, S, D) decode layout), decode stepwise
     l, _, _, h, d = kv["k"].shape
-    caches = {
-        "k": jnp.zeros((l, b, smax, h, d)).at[:, :, :s_prompt].set(kv["k"]),
-        "v": jnp.zeros((l, b, smax, h, d)).at[:, :, :s_prompt].set(kv["v"]),
-    }
+    pad = jnp.zeros((b, h, smax - s_prompt, d))
+    caches = [
+        (
+            jnp.concatenate([jnp.swapaxes(kv["k"], 2, 3)[li], pad], axis=2),
+            jnp.concatenate([jnp.swapaxes(kv["v"], 2, 3)[li], pad], axis=2),
+        )
+        for li in range(l)
+    ]
     for t in range(s_prompt, s_total):
         tt_step = jnp.stack([tt[:, t], jnp.full((b,), LANGUAGE_TOKEN_TYPE)], axis=1)
         hidden, caches = llm_decode_step(
