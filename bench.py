@@ -21,7 +21,7 @@ import numpy as np
 
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 MAX_NEW_TOKENS = 128
-BATCH = 16
+BATCH = 64
 
 
 def build():
