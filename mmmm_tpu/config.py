@@ -34,12 +34,20 @@ def _merge(base: dict, override: dict) -> dict:
     return out
 
 
-def load_yaml(path: str | Path) -> dict:
+def load_yaml(path: str | Path, resolve: bool = True) -> dict:
+    """Load + merge includes; ``resolve=False`` defers ``${...}`` interpolation
+    so CLI overrides can land first (otherwise overriding an interpolation
+    source like ``trainer.max_steps`` leaves stale resolved values)."""
     path = Path(path)
     doc = yaml.safe_load(path.read_text()) or {}
     doc = _resolve_includes(doc, path.parent)
-    doc = _interpolate(doc, doc)
+    if resolve:
+        doc = _interpolate(doc, doc)
     return doc
+
+
+def resolve_interpolations(doc: dict) -> dict:
+    return _interpolate(doc, doc)
 
 
 def _resolve_includes(node, base_dir: Path):
@@ -49,11 +57,11 @@ def _resolve_includes(node, base_dir: Path):
             includes = [includes]
         merged: dict = {}
         for inc in includes:
-            merged = _merge(merged, load_yaml(base_dir / inc))
+            merged = _merge(merged, load_yaml(base_dir / inc, resolve=False))
         resolved = {}
         for k, v in node.items():
             if isinstance(v, str) and v.endswith(".yaml") and (base_dir / v).exists():
-                resolved[k] = load_yaml(base_dir / v)
+                resolved[k] = load_yaml(base_dir / v, resolve=False)
             else:
                 resolved[k] = _resolve_includes(v, base_dir)
         return _merge(merged, resolved)

@@ -20,7 +20,6 @@ spliced into the LLM sequence by the caller (``modeling_cogvlm.py:449-453``).
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -111,7 +111,6 @@ def make_train_step(
         new_state = TrainState(state.step + 1, trainable, opt_state)
         return new_state, logs
 
-    static = {"vg_mode", "patch_size", "pool_size"}
 
     def split_batch(batch):
         arrays = {

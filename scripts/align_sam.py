@@ -32,7 +32,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from mmmm_tpu.config import apply_overrides, build, load_yaml
+    from mmmm_tpu.config import apply_overrides, build, load_yaml, resolve_interpolations
     from mmmm_tpu.data.align import AlignPatchTransform, AlignTransConf, collate_align
     from mmmm_tpu.data.local import get_local_data_list
     from mmmm_tpu.models.align import AlignConfig, align_training_step
@@ -40,7 +40,7 @@ def main(argv=None):
     from mmmm_tpu.train import OptimizerConfig, make_optimizer
     from mmmm_tpu.train.checkpoint import save_adapter
 
-    cfg = apply_overrides(load_yaml(args.config), args.overrides)
+    cfg = resolve_interpolations(apply_overrides(load_yaml(args.config, resolve=False), args.overrides))
     sam_cfg = build(SamConfig, cfg.get("sam") or {})
     align_tc = build(AlignTransConf, cfg.get("align") or {})
     trainer_cfg = cfg.get("trainer") or {}

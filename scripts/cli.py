@@ -73,13 +73,14 @@ def build_dataset(cfg: dict, tokenizer, conf_dir: Path):
 
 
 def cmd_fit(args):
-    from mmmm_tpu.config import apply_overrides, load_yaml, build
+    from mmmm_tpu.config import apply_overrides, build, load_yaml, resolve_interpolations
     from mmmm_tpu.peft import LoraConfig
     from mmmm_tpu.train import OptimizerConfig
     from mmmm_tpu.train.trainer import Trainer, TrainerConfig
 
-    cfg = load_yaml(args.config)
+    cfg = load_yaml(args.config, resolve=False)
     cfg = apply_overrides(cfg, args.overrides)
+    cfg = resolve_interpolations(cfg)
     conf_dir = Path(args.config).parent
 
     tokenizer = build_tokenizer(cfg.get("tokenizer"))

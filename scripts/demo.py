@@ -66,6 +66,11 @@ def main(argv=None):
     parser.add_argument("--max-new-tokens", type=int, default=256)
     parser.add_argument("--grounding", action="store_true", default=True)
     parser.add_argument("--instance", action="store_true")
+    parser.add_argument(
+        "--interactive", action="store_true",
+        help="multi-turn conversation: read follow-up questions from stdin "
+             "(the reference demo's history loop, scripts/demo.py:22-76)",
+    )
     args = parser.parse_args(argv)
 
     from mmmm_tpu.data import ConvTurn
@@ -80,39 +85,53 @@ def main(argv=None):
     dconf = build(DatasetConf, dconf_dict)
     image, grounding_image, patch, pool, n_tokens = prepare_image(args.image, dconf)
 
-    inputs, _ = prepare_vlm_inputs(
-        [ConvTurn(args.question, "")], tokenizer, n_tokens,
-        inference=True, grounding=args.grounding,
-    )
-    res = generate_grounded(
-        params,
-        model.cfg,
-        tokenizer,
-        jnp.asarray(inputs.input_ids)[None],
-        jnp.asarray(inputs.token_type_ids)[None],
-        jnp.asarray(inputs.position_ids)[None],
-        jnp.asarray([len(inputs.input_ids)]),
-        jnp.asarray(image)[None],
-        patch,
-        pool,
-        max_new_tokens=args.max_new_tokens,
-        grounding_image=jnp.asarray(grounding_image)[None],
-        instance=args.instance,
-    )
-    print("=== generated ===")
-    print(res.text[0])
-    print("=== grounded targets ===")
-    print(res.targets[0])
-    if res.masks is not None and res.target_valid is not None and res.target_valid.any():
-        probs = 1 / (1 + np.exp(-res.masks[0]))
-        for i in range(int(res.target_valid[0].sum())):
-            vox = int((probs[i] > 0.5).sum())
-            print(f"target {i}: mask voxels>0.5 = {vox}")
-    if res.boxes is not None and res.target_valid is not None and res.target_valid.any():
-        disc = 1 / (1 + np.exp(-res.disc_logit[0]))
-        for i in range(int(res.target_valid[0].sum())):
-            best = int(np.argmax(disc[i]))
-            print(f"target {i}: best instance p={disc[i, best]:.3f} box={np.round(res.boxes[0, i, best], 3)}")
+    def run_turn(conversation):
+        inputs, _ = prepare_vlm_inputs(
+            conversation, tokenizer, n_tokens, inference=True, grounding=args.grounding
+        )
+        res = generate_grounded(
+            params,
+            model.cfg,
+            tokenizer,
+            jnp.asarray(inputs.input_ids)[None],
+            jnp.asarray(inputs.token_type_ids)[None],
+            jnp.asarray(inputs.position_ids)[None],
+            jnp.asarray([len(inputs.input_ids)]),
+            jnp.asarray(image)[None],
+            patch,
+            pool,
+            max_new_tokens=args.max_new_tokens,
+            grounding_image=jnp.asarray(grounding_image)[None],
+            instance=args.instance,
+        )
+        print("=== generated ===")
+        print(res.text[0])
+        print("=== grounded targets ===")
+        print(res.targets[0])
+        if res.masks is not None and res.target_valid is not None and res.target_valid.any():
+            probs = 1 / (1 + np.exp(-res.masks[0]))
+            for i in range(int(res.target_valid[0].sum())):
+                vox = int((probs[i] > 0.5).sum())
+                print(f"target {i}: mask voxels>0.5 = {vox}")
+        if res.boxes is not None and res.target_valid is not None and res.target_valid.any():
+            disc = 1 / (1 + np.exp(-res.disc_logit[0]))
+            for i in range(int(res.target_valid[0].sum())):
+                best = int(np.argmax(disc[i]))
+                print(f"target {i}: best instance p={disc[i, best]:.3f} box={np.round(res.boxes[0, i, best], 3)}")
+        return res.text[0]
+
+    conversation = [ConvTurn(args.question, "")]
+    answer = run_turn(conversation)
+    if args.interactive:
+        import sys as _sys
+
+        print("(enter follow-up questions; empty line to quit)")
+        for line in _sys.stdin:
+            q = line.strip()
+            if not q:
+                break
+            conversation = conversation[:-1] + [ConvTurn(conversation[-1].prompt, answer), ConvTurn(q, "")]
+            answer = run_turn(conversation)
 
 
 if __name__ == "__main__":

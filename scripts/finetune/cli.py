@@ -30,13 +30,14 @@ def main(argv=None):
 
     from cli import build_dataset, build_model, build_tokenizer
 
-    from mmmm_tpu.config import apply_overrides, build, load_yaml
+    from mmmm_tpu.config import apply_overrides, build, load_yaml, resolve_interpolations
     from mmmm_tpu.peft import LoraConfig
     from mmmm_tpu.train import OptimizerConfig
     from mmmm_tpu.train.trainer import Trainer, TrainerConfig
 
-    cfg = load_yaml(args.config)
+    cfg = load_yaml(args.config, resolve=False)
     cfg = apply_overrides(cfg, args.overrides)
+    cfg = resolve_interpolations(cfg)
     data_cfg = cfg.setdefault("data", {})
     ds_dir = Path(args.dataset_dir)
     data_cfg["datasets"] = [{"name": ds_dir.name, "type": "vl", "dir": str(ds_dir)}]

@@ -81,3 +81,17 @@ def test_cli_fit_end_to_end(tmp_path):
     ])
     metrics = [json.loads(l) for l in (out_dir / "metrics.jsonl").read_text().splitlines()]
     assert metrics[-1]["step"] == 5
+
+
+def test_override_before_interpolation(tmp_path):
+    """CLI overrides must land before ${...} interpolation resolves
+    (regression: overriding trainer.max_steps left the LR schedule stale)."""
+    from mmmm_tpu.config import resolve_interpolations
+
+    (tmp_path / "f.yaml").write_text(
+        "optimizer:\n  max_steps: ${trainer.max_steps}\ntrainer:\n  max_steps: 4\n"
+    )
+    cfg = load_yaml(tmp_path / "f.yaml", resolve=False)
+    cfg = apply_overrides(cfg, ["trainer.max_steps=150"])
+    cfg = resolve_interpolations(cfg)
+    assert cfg["optimizer"]["max_steps"] == 150
