@@ -30,16 +30,71 @@ class TargetClass:
 
 
 _BUILTIN = [
+    # anatomy
     TargetClass("liver", ANATOMY, ["hepar"]),
     TargetClass("heart", ANATOMY, ["cardiac silhouette"]),
     TargetClass("left lung", ANATOMY),
     TargetClass("right lung", ANATOMY),
     TargetClass("kidney", ANATOMY, ["renal organ"]),
+    TargetClass("left kidney", ANATOMY),
+    TargetClass("right kidney", ANATOMY),
     TargetClass("spleen", ANATOMY),
+    TargetClass("gallbladder", ANATOMY),
+    TargetClass("esophagus", ANATOMY),
+    TargetClass("stomach", ANATOMY),
+    TargetClass("aorta", ANATOMY),
+    TargetClass("inferior vena cava", ANATOMY, ["IVC"]),
+    TargetClass("pancreas", ANATOMY),
+    TargetClass("left adrenal gland", ANATOMY),
+    TargetClass("right adrenal gland", ANATOMY),
+    TargetClass("duodenum", ANATOMY),
+    TargetClass("urinary bladder", ANATOMY, ["bladder"]),
+    TargetClass("prostate", ANATOMY),
+    TargetClass("colon", ANATOMY),
+    TargetClass("intestine", ANATOMY, ["small bowel"]),
+    TargetClass("rectum", ANATOMY),
+    TargetClass("left atrium", ANATOMY),
+    TargetClass("hepatic vessel", ANATOMY),
+    TargetClass("anterior hippocampus", ANATOMY),
+    TargetClass("posterior hippocampus", ANATOMY),
+    TargetClass("peripheral zone of prostate", ANATOMY),
+    TargetClass("transition zone of prostate", ANATOMY),
+    TargetClass("left head of femur", ANATOMY),
+    TargetClass("right head of femur", ANATOMY),
+    *[
+        TargetClass(f"vertebra {v}", ANATOMY)
+        for v in ["C1", "C2", "C3", "C4", "C5", "C6", "C7",
+                  "T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10", "T11", "T12",
+                  "L1", "L2", "L3", "L4", "L5"]
+    ],
+    # anomaly
     TargetClass("glioma", ANOMALY, ["brain tumor"]),
-    TargetClass("nodule", ANOMALY, ["pulmonary nodule"]),
+    TargetClass("nodule", ANOMALY, ["pulmonary nodule", "lung nodule"]),
     TargetClass("pleural effusion", ANOMALY, ["effusion"]),
     TargetClass("cardiomegaly", ANOMALY, ["enlarged heart"]),
+    TargetClass("kidney tumor", ANOMALY, ["renal tumor"]),
+    TargetClass("kidney cyst", ANOMALY, ["renal cyst"]),
+    TargetClass("liver tumor", ANOMALY, ["hepatic tumor"]),
+    TargetClass("lung tumor", ANOMALY),
+    TargetClass("pancreatic tumor", ANOMALY),
+    TargetClass("colon cancer", ANOMALY, ["colorectal cancer"]),
+    TargetClass("necrotic tumor core", ANOMALY),
+    TargetClass("peritumoral edema", ANOMALY),
+    TargetClass("enhancing tumor", ANOMALY),
+    TargetClass("non-enhancing tumor core", ANOMALY),
+    TargetClass("atelectasis", ANOMALY),
+    TargetClass("pneumothorax", ANOMALY),
+    TargetClass("pulmonary consolidation", ANOMALY, ["consolidation"]),
+    TargetClass("pulmonary edema", ANOMALY, ["edema"]),
+    TargetClass("pulmonary fibrosis", ANOMALY, ["fibrosis"]),
+    TargetClass("aortic enlargement", ANOMALY),
+    TargetClass("calcification", ANOMALY),
+    TargetClass("interstitial lung disease", ANOMALY, ["ILD"]),
+    TargetClass("pulmonary opacification", ANOMALY, ["lung opacity"]),
+    TargetClass("pleural thickening", ANOMALY),
+    TargetClass("rib fracture", ANOMALY),
+    TargetClass("clavicle fracture", ANOMALY),
+    TargetClass("mediastinal shift", ANOMALY),
 ]
 
 

@@ -145,6 +145,12 @@ class MMMMModel:
                            optional masks_label (B, Lmax, D, H, W)
         """
         cfg = self.cfg
+        # numpy leaves break traced indexing inside vmap; asarray is free for
+        # arrays already on device
+        batch = {
+            k: (jnp.asarray(v) if isinstance(v, (list, tuple)) is False and hasattr(v, "ndim") else v)
+            for k, v in batch.items()
+        }
         hidden, logits = self.vlm_forward(params, batch, attn_impl=attn_impl, remat=remat)
         lm_loss = weighted_ce_loss(logits, batch["labels"], batch.get("weight"))
         log = {"lm_loss": lm_loss}

@@ -17,7 +17,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent.parent))
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--layout", choices=["nnunet", "segfolder"], required=True)
+    parser.add_argument("--layout", choices=["nnunet", "segfolder"])
+    parser.add_argument("--dataset", help="named recipe from preprocess.registry (e.g. AMOS22)")
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--name")
@@ -30,8 +31,15 @@ def main(argv=None):
     from mmmm_tpu.preprocess.seg_folder import SegFolderProcessor
 
     conf = ProcessorConfig(max_smaller_edge=args.max_smaller_edge)
-    cls = {"nnunet": NNUNetProcessor, "segfolder": SegFolderProcessor}[args.layout]
-    proc = cls(Path(args.src), Path(args.out), name=args.name, modality=args.modality, conf=conf)
+    if args.dataset:
+        from mmmm_tpu.preprocess.registry import build_processor
+
+        proc = build_processor(args.dataset, Path(args.src), Path(args.out), conf)
+    elif args.layout:
+        cls = {"nnunet": NNUNetProcessor, "segfolder": SegFolderProcessor}[args.layout]
+        proc = cls(Path(args.src), Path(args.out), name=args.name, modality=args.modality, conf=conf)
+    else:
+        parser.error("one of --dataset or --layout is required")
     info = proc.process(limit=args.limit)
     ok = sum(1 for r in info if r["status"] == "ok")
     exists = sum(1 for r in info if r["status"] == "exists")
