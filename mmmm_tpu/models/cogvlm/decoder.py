@@ -134,9 +134,17 @@ def _decoder_layer(
         )
         k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
         v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
-        smax = k_cache.shape[2]
-        valid = jnp.arange(smax)[None, :] < kv_len[:, None]
-        ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
+        use_pallas = attn_impl == "pallas" or (
+            attn_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from ...ops.decode_kernel import decode_attention_pallas
+
+            ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
+        else:
+            smax = k_cache.shape[2]
+            valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+            ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
         new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
     attn_out = dual(ctx, lp["vis_dense"], lp["lang_dense"])
@@ -199,6 +207,7 @@ def llm_decode_step(
     kv_caches: list,  # per-layer [(k (B, H, Smax, D), v (B, H, Smax, D)), ...]
     write_index: jnp.ndarray,  # (B,) cache slot for this token
     kv_len: jnp.ndarray,  # (B,) number of valid slots including this token
+    attn_impl: str = "auto",
 ):
     """Single-token decode against static KV caches; returns (hidden, caches).
 
@@ -226,7 +235,7 @@ def llm_decode_step(
             position_ids=position_ids,
             cos=cos,
             sin=sin,
-            attn_impl="xla",
+            attn_impl=attn_impl,
             cache=(k_cache, v_cache, write_index, kv_len),
             lang_only=True,
         )

@@ -103,7 +103,7 @@ def greedy_generate(
         tt = jnp.full((b, 2), LANGUAGE_TOKEN_TYPE, jnp.int32)
         hidden_t, caches = llm_decode_step(
             params["llm"], cfg, emb_t, tt, pos[:, None], state["caches"],
-            state["write"], state["write"] + 1,
+            state["write"], state["write"] + 1, attn_impl=attn_impl,
         )
         hidden_t = hidden_t[:, 0]  # (B, C)
         logits = jnp.dot(hidden_t, params["llm"]["lm_head"]).astype(jnp.float32)
