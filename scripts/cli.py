@@ -17,59 +17,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 
 
-def build_tokenizer(cfg: dict):
-    from mmmm_tpu.data.tokenizer import MMMMTokenizer
-
-    path = (cfg or {}).get("path")
-    if path:
-        return MMMMTokenizer.from_pretrained(path)
-    return MMMMTokenizer.byte_fallback()
-
-
-def build_model(cfg: dict, tokenizer):
-    import dataclasses
-
-    from mmmm_tpu.config import build
-    from mmmm_tpu.models import MMMMConfig, MMMMModel
-
-    mcfg: MMMMConfig = build(MMMMConfig, cfg or {})
-    mcfg = dataclasses.replace(
-        mcfg,
-        bop_token_id=tokenizer.bop_token_id,
-        eop_token_id=tokenizer.eop_token_id,
-        vlm=dataclasses.replace(mcfg.vlm, vocab_size=max(mcfg.vlm.vocab_size, len(tokenizer))),
-    )
-    return MMMMModel(mcfg)
-
-
-def build_dataset(cfg: dict, tokenizer, conf_dir: Path):
-    from mmmm_tpu.config import build
-    from mmmm_tpu.data.dataset import DatasetSpec, MultiDataset
-    from mmmm_tpu.data.grg import GRGTransConf
-    from mmmm_tpu.data.local import DatasetConf, LocalTransConf
-    from mmmm_tpu.data.vl import VLTransConf
-
-    dconf: DatasetConf = build(DatasetConf, cfg.get("conf") or {})
-    if cfg.get("vl_trans") is not None:
-        dconf.vl_trans = build(VLTransConf, cfg["vl_trans"])
-    if cfg.get("grg_trans") is not None:
-        dconf.grg_trans = build(GRGTransConf, cfg["grg_trans"])
-    specs = []
-    for s in cfg.get("datasets", []):
-        d = dict(s)
-        if d.get("dir"):
-            p = Path(d["dir"])
-            if not p.is_absolute():
-                p = (conf_dir / p).resolve()
-            d["dir"] = p
-        specs.append(DatasetSpec(**d))
-    tax_path = cfg.get("target_tax")
-    target_tax = None
-    if tax_path:
-        from mmmm_tpu.data.target_tax import load_target_tax
-
-        target_tax = load_target_tax(tax_path)
-    return MultiDataset(dconf, specs, tokenizer, target_tax=target_tax)
+from mmmm_tpu.build import build_dataset, build_model, build_tokenizer  # noqa: E402
 
 
 def cmd_fit(args):

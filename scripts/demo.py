@@ -26,26 +26,9 @@ import numpy as np
 
 
 def load_model(config_path: str, adapter: str | None):
-    from cli import build_model, build_tokenizer
-    from mmmm_tpu.config import load_yaml
-    from mmmm_tpu.peft import LoraConfig, lora_merge, merge_trainable
-    from mmmm_tpu.config import build
+    from mmmm_tpu.build import load_model_with_adapter
 
-    cfg = load_yaml(config_path)
-    tokenizer = build_tokenizer(cfg.get("tokenizer"))
-    model = build_model(cfg.get("model"), tokenizer)
-    params = model.init(jax.random.PRNGKey(0))
-    if adapter:
-        from mmmm_tpu.train.checkpoint import load_adapter
-        from mmmm_tpu.peft import split_trainable
-
-        trainable = load_adapter(adapter)
-        _, frozen = split_trainable(params)
-        params = merge_trainable(trainable["ft"], frozen)
-        lora_cfg = build(LoraConfig, cfg.get("lora") or {})
-        params = lora_merge(params, trainable["lora"], lora_cfg)
-        params = jax.tree.map(jnp.asarray, params)
-    return model, params, tokenizer, cfg
+    return load_model_with_adapter(config_path, adapter)
 
 
 def prepare_image(path: str | None, conf):

@@ -28,8 +28,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from cli import build_dataset, build_model, build_tokenizer
-
+    from mmmm_tpu.build import build_dataset, build_model, build_tokenizer
     from mmmm_tpu.config import apply_overrides, build, load_yaml, resolve_interpolations
     from mmmm_tpu.peft import LoraConfig
     from mmmm_tpu.train import OptimizerConfig

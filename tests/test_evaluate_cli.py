@@ -1,0 +1,54 @@
+"""Evaluate CLI end-to-end: predict (tiny model over synthetic VQA) -> evaluate."""
+import csv
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts" / "evaluate"))
+
+
+def test_predict_and_evaluate(tmp_path):
+    import importlib
+
+    eval_cli = importlib.import_module("cli")
+    # the evaluate CLI module shadows scripts/cli.py by name; import by path
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_cli", Path(__file__).parent.parent / "scripts/evaluate/cli.py"
+    )
+    eval_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eval_cli)
+
+    ds = tmp_path / "VQA-demo"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    img = ds / "img0.png"
+    Image.fromarray(rng.integers(0, 255, size=(48, 48), dtype=np.uint8).copy(), "L").save(img)
+    (ds / "test.json").write_text(json.dumps([
+        {"key": "0", "image": ["img0.png"],
+         "vqa": [{"question": "Is the heart normal?", "answer": "yes"},
+                 {"question": "Any effusion?", "answer": "no"}]}
+    ]))
+
+    pred_csv = tmp_path / "pred.csv"
+    eval_cli.main([
+        "predict", "-c", str(Path(__file__).parent.parent / "conf/tiny/fit.yaml"),
+        "--task", "vqa", "--dataset-dir", str(ds),
+        "--output", str(pred_csv), "--max-new-tokens", "4",
+    ])
+    rows = list(csv.DictReader(pred_csv.open()))
+    assert len(rows) == 2
+    assert rows[0]["answer"] == "yes"
+
+    out_json = tmp_path / "metrics.json"
+    eval_cli.main([
+        "evaluate", "--input", str(pred_csv), "--suite", "all", "--output", str(out_json),
+    ])
+    metrics = json.loads(out_json.read_text())
+    assert "bleu1" in metrics and "chexpert_micro_f1_14" in metrics
