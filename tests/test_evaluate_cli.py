@@ -9,14 +9,11 @@ import pytest
 from PIL import Image
 
 sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
-sys.path.insert(0, str(Path(__file__).parent.parent / "scripts" / "evaluate"))
 
 
 def test_predict_and_evaluate(tmp_path):
-    import importlib
-
-    eval_cli = importlib.import_module("cli")
-    # the evaluate CLI module shadows scripts/cli.py by name; import by path
+    # load the evaluator by explicit path (its filename would shadow
+    # scripts/cli.py under the module name "cli")
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
