@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ...ops import apply_rope, decode_attention, rms_norm, rope_cos_sin, segment_attention
 from ...ops.attention import decode_attention_bhsd
 from ...ops.remat import remat_policy
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from .config import CogVLMConfig
 
 VISION_TOKEN_TYPE = 1
@@ -125,6 +126,7 @@ def _decoder_layer(
     q, k = apply_rope(q, k, cos, sin, position_ids)
     if cache is None:
         ctx = segment_attention(q, k, v, segments, causal=True, impl=attn_impl)
+        ctx = _checkpoint_name(ctx, "attn_out")
         new_cache = (k, v)
     else:
         # caches live in the decode-friendly (B, H, Smax, D) layout
