@@ -33,7 +33,7 @@ class LoraConfig:
     r: int = 64
     alpha: float = 8.0
     use_rslora: bool = True
-    dropout: float = 0.05  # applied by the training step on lora inputs (TODO)
+    dropout: float = 0.05  # LoRA-branch input dropout (conf/lora.yaml); see lora_merge
 
     @property
     def scale(self) -> float:
@@ -99,18 +99,35 @@ def lora_init(key, params: dict, cfg: LoraConfig, targets: list[str] | None = No
     return lora
 
 
-def lora_merge(params: dict, lora: dict, cfg: LoraConfig) -> dict:
-    """Return a params tree with ``W + scale * A @ B`` at each factored path."""
+def lora_merge(params: dict, lora: dict, cfg: LoraConfig, *, dropout_rng=None) -> dict:
+    """Return a params tree with ``W + scale * A @ B`` at each factored path.
+
+    When ``dropout_rng`` is given and ``cfg.dropout > 0``, applies LoRA-branch
+    input dropout (the reference trains with PEFT ``lora_dropout=0.05``,
+    ``conf/lora.yaml``): fan-in rows of A are zeroed with prob p and survivors
+    scaled by 1/(1-p), a fresh mask per call / per (stacked) layer. This is the
+    merge-then-forward realization of ``scale * B A dropout(x)`` — identical in
+    expectation; the mask is shared across tokens of the step (a per-token mask
+    is inexpressible once W is merged). Pass ``dropout_rng=None`` (the default)
+    for eval/inference: the merge is then deterministic and dropout-free.
+    """
     flat_lora = {}
     for path, leaf in _flatten(lora).items():
         base_path, name = path.rsplit("/", 1)
         flat_lora.setdefault(base_path, {})[name] = leaf
     flat = _flatten(params)
     merged: dict = {}
-    for path, w in flat.items():
+    p = cfg.dropout if dropout_rng is not None else 0.0
+    for i, (path, w) in enumerate(sorted(flat.items())):
         if path in flat_lora:
             ab = flat_lora[path]
-            delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * cfg.scale
+            a = ab["a"]
+            if p > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, i), 1.0 - p, (*a.shape[:-1], 1)
+                )
+                a = a * keep.astype(a.dtype) / (1.0 - p)
+            delta = jnp.einsum("...ir,...ro->...io", a, ab["b"]) * cfg.scale
             w = w + delta.astype(w.dtype)
         _set_path(merged, path, w)
     return merged

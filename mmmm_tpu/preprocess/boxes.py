@@ -99,6 +99,57 @@ class BoxCase:
     neg_classes: list[str] = dataclasses.field(default_factory=list)
 
 
+def load_box_cases(src: Path, csv_path: Path | None = None) -> list[BoxCase]:
+    """Build ``BoxCase`` list from a VinDr-CXR-style folder.
+
+    Layout (ref ``scripts/data/local/processors/VinDrCXR.py:19-100``): images
+    anywhere under ``src`` named ``<image_id>.<ext>``, plus an annotation CSV
+    with columns ``image_id, class_name, rad_id, x_min, y_min, x_max, y_max``
+    (the official VinDr header). Rows whose class is "No finding" mark that
+    annotator as all-negative for the study; a study with no positive rows
+    becomes a pure-negative case (``neg_classes`` = every class seen in the
+    CSV), matching the reference's complete-anomaly contract.
+    """
+    import csv
+
+    src = Path(src)
+    if csv_path is None:
+        for cand in ("annotations_train.csv", "train.csv", "boxes.csv", "annotations.csv"):
+            if (src / cand).exists():
+                csv_path = src / cand
+                break
+        else:
+            raise FileNotFoundError(f"no annotation csv found under {src}")
+
+    by_image: dict[str, dict[str, list[tuple[str, tuple[float, float, float, float]]]]] = {}
+    negatives: dict[str, bool] = {}
+    all_classes: set[str] = set()
+    with open(csv_path, newline="") as f:
+        for row in csv.DictReader(f):
+            key = row["image_id"]
+            cls = row["class_name"].strip()
+            by_image.setdefault(key, {})
+            if cls.lower() == "no finding" or row.get("x_min") in (None, "", "nan"):
+                negatives[key] = True
+                continue
+            all_classes.add(cls)
+            box = (float(row["x_min"]), float(row["y_min"]), float(row["x_max"]), float(row["y_max"]))
+            by_image[key].setdefault(cls, []).append((row.get("rad_id", "r0"), box))
+
+    image_index: dict[str, Path] = {}
+    for ext in ("png", "jpg", "jpeg", "nii.gz", "nii"):
+        for p in src.rglob(f"*.{ext}"):
+            image_index.setdefault(p.name[: -len(ext) - 1], p)
+
+    cases = []
+    for key, anns in sorted(by_image.items()):
+        if key not in image_index:
+            continue
+        neg = sorted(all_classes - set(anns)) if (negatives.get(key) or not anns) else []
+        cases.append(BoxCase(key=key, image=image_index[key], annotations=anns, neg_classes=neg))
+    return cases
+
+
 class BoxFolderProcessor(Processor):
     """2-D images + per-annotator boxes -> processed instance-box dataset."""
 

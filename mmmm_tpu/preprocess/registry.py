@@ -125,4 +125,8 @@ def build_processor(name: str, src, out, conf=None):
         return proc
     if recipe.layout == "segfolder":
         return SegFolderProcessor(src, out, name=name, modality=recipe.modality, conf=conf)
+    if recipe.layout == "boxfolder":
+        from .boxes import load_box_cases
+
+        return BoxFolderProcessor(name, load_box_cases(src), out, conf=conf)
     raise ValueError(f"{name}: layout {recipe.layout} needs a custom driver")

@@ -68,11 +68,13 @@ def init_train_state(
     return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen
 
 
-def effective_params(trainable: dict, frozen: dict, lora_cfg: LoraConfig, bf16_vlm: bool) -> dict:
+def effective_params(
+    trainable: dict, frozen: dict, lora_cfg: LoraConfig, bf16_vlm: bool, dropout_rng=None
+) -> dict:
     base = merge_trainable(trainable["ft"], frozen)
     if bf16_vlm:
         base = _cast_vlm_bf16(base)
-    return lora_merge(base, trainable["lora"], lora_cfg)
+    return lora_merge(base, trainable["lora"], lora_cfg, dropout_rng=dropout_rng)
 
 
 def make_train_step(
@@ -89,6 +91,7 @@ def make_train_step(
     state_example: TrainState | None = None,
     batch_example: dict | None = None,
     donate: bool = True,
+    dropout_seed: int | None = 0,
 ) -> Callable:
     """Build the jitted step(state, frozen, batch) -> (state, logs).
 
@@ -96,9 +99,18 @@ def make_train_step(
     the batch to the data axis; otherwise plain jit.
     """
 
+    use_dropout = dropout_seed is not None and lora_cfg.dropout > 0.0
+
     def step_fn(state: TrainState, frozen: dict, batch: dict):
+        # fresh LoRA-dropout mask per step, deterministic in (seed, step)
+        drng = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            if use_dropout
+            else None
+        )
+
         def loss_fn(trainable):
-            params = effective_params(trainable, frozen, lora_cfg, bf16_vlm)
+            params = effective_params(trainable, frozen, lora_cfg, bf16_vlm, dropout_rng=drng)
             return model.training_step(
                 params, batch, vg_mode=vg_mode, attn_impl=attn_impl, remat=remat
             )

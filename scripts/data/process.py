@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent.parent))
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--layout", choices=["nnunet", "segfolder"])
+    parser.add_argument("--layout", choices=["nnunet", "segfolder", "boxfolder"])
     parser.add_argument("--dataset", help="named recipe from preprocess.registry (e.g. AMOS22)")
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True)
@@ -35,6 +35,12 @@ def main(argv=None):
         from mmmm_tpu.preprocess.registry import build_processor
 
         proc = build_processor(args.dataset, Path(args.src), Path(args.out), conf)
+    elif args.layout == "boxfolder":
+        from mmmm_tpu.preprocess.boxes import BoxFolderProcessor, load_box_cases
+
+        proc = BoxFolderProcessor(
+            args.name or "boxes", load_box_cases(Path(args.src)), Path(args.out), conf=conf
+        )
     elif args.layout:
         cls = {"nnunet": NNUNetProcessor, "segfolder": SegFolderProcessor}[args.layout]
         proc = cls(Path(args.src), Path(args.out), name=args.name, modality=args.modality, conf=conf)

@@ -76,3 +76,45 @@ def test_box_folder_processor(tmp_path):
     b = t.boxes[0]
     assert b[0] == 0 and b[3] == 1
     assert 19 <= b[1] <= 22 and 9 <= b[2] <= 12
+
+
+def test_load_box_cases_and_registry_dispatch(tmp_path):
+    """`--dataset VinDr-CXR` end-to-end from a synthetic VinDr-style folder."""
+    rng = np.random.default_rng(1)
+    src = tmp_path / "vindr"
+    (src / "train").mkdir(parents=True)
+    for key in ("s0", "s1", "s2"):
+        Image.fromarray(
+            rng.integers(0, 255, size=(64, 48), dtype=np.uint8).copy(), "L"
+        ).save(src / "train" / f"{key}.png")
+    (src / "annotations_train.csv").write_text(
+        "image_id,class_name,rad_id,x_min,y_min,x_max,y_max\n"
+        "s0,Nodule/Mass,R1,10,12,20,22\n"
+        "s0,Nodule/Mass,R2,11,12,21,23\n"
+        "s0,Cardiomegaly,R1,5,30,40,60\n"
+        "s1,No finding,R1,,,,\n"
+        "s2,No finding,R3,,,,\n"
+        "s2,Aortic enlargement,R1,8,8,16,16\n"
+    )
+
+    from mmmm_tpu.preprocess.boxes import load_box_cases
+    from mmmm_tpu.preprocess.registry import build_processor
+
+    cases = {c.key: c for c in load_box_cases(src)}
+    assert set(cases) == {"s0", "s1", "s2"}
+    assert set(cases["s0"].annotations) == {"Nodule/Mass", "Cardiomegaly"}
+    assert cases["s0"].neg_classes == []
+    # pure-negative study: negative for every class seen in the csv
+    assert set(cases["s1"].neg_classes) == {"Nodule/Mass", "Cardiomegaly", "Aortic enlargement"}
+    # "No finding" from one rad + positives from another: negs exclude positives
+    assert set(cases["s2"].neg_classes) == {"Nodule/Mass", "Cardiomegaly"}
+
+    proc = build_processor("VinDr-CXR", src, tmp_path / "out")
+    info = proc.process()
+    assert sorted(r["status"] for r in info) == ["ok", "ok", "ok"]
+
+    from mmmm_tpu.data.sparse import Sparse
+
+    sparse = Sparse.from_json((tmp_path / "out/VinDr-CXR/data/s0/sparse.json").read_bytes())
+    names = {t.name for t in sparse.targets["anomaly"]}
+    assert names == {"Nodule/Mass", "Cardiomegaly"}

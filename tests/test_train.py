@@ -103,3 +103,45 @@ def test_train_step_semantic_vg():
     state, logs = step(state, frozen, batch)
     assert np.isfinite(float(logs["loss"]))
     assert float(logs["grad_norm"]) > 0
+
+
+def test_lora_dropout_train_vs_eval():
+    """Dropout perturbs the merged weights during training (fresh mask per rng)
+    and is absent at eval (no rng) — recipe parity with conf/lora.yaml (p=.05)."""
+    cfg = MMMMConfig.tiny()
+    model = MMMMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, dropout=0.5)
+    lora = lora_init(jax.random.PRNGKey(1), params, lcfg)
+    # make B nonzero so the delta (and thus the mask) is observable
+    lora = jax.tree.map(lambda x: jnp.ones_like(x), lora)
+
+    eval_merged = lora_merge(params, lora, lcfg)
+    eval_merged2 = lora_merge(params, lora, lcfg)
+    train_a = lora_merge(params, lora, lcfg, dropout_rng=jax.random.PRNGKey(10))
+    train_b = lora_merge(params, lora, lcfg, dropout_rng=jax.random.PRNGKey(11))
+
+    flat_e = jax.tree.leaves(eval_merged)
+    for x, y in zip(flat_e, jax.tree.leaves(eval_merged2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def l1_diff(t1, t2):
+        return sum(
+            float(jnp.abs(a - b).sum()) for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2))
+        )
+
+    assert l1_diff(train_a, eval_merged) > 0  # dropout active under a train rng
+    assert l1_diff(train_a, train_b) > 0  # fresh mask per rng
+    # unbiased: surviving rows scaled by 1/(1-p); with all-ones factors the
+    # mean delta over many draws approaches the eval delta
+    draws = [
+        lora_merge(params, lora, lcfg, dropout_rng=jax.random.PRNGKey(100 + i))
+        for i in range(64)
+    ]
+    ev = np.asarray(eval_merged["cogvlm"]["llm"]["lm_head"], np.float64)
+    mean = np.mean(
+        [np.asarray(d["cogvlm"]["llm"]["lm_head"], np.float64) for d in draws], axis=0
+    )
+    base = np.asarray(params["cogvlm"]["llm"]["lm_head"], np.float64)
+    # global mean (per-row means are too noisy at 64 draws): rel sd ~1%
+    np.testing.assert_allclose((mean - base).mean(), (ev - base).mean(), rtol=0.1)
