@@ -23,20 +23,55 @@ import jax
 import jax.numpy as jnp
 
 
+def _linear_interp_matrix(old: int, new: int) -> jnp.ndarray:
+    """(new, old) half-pixel linear interpolation matrix, NO anti-aliasing.
+
+    Exactly ``torch.nn.functional.interpolate(mode='linear'/'bilinear'/
+    'trilinear', align_corners=False)``: source centers ``(i+0.5)*old/new-0.5``
+    clamped at 0, two-tap lerp. ``jax.image.resize`` is NOT equivalent — it
+    widens the kernel (anti-aliases) when downsampling, which would silently
+    diverge from the reference's checkpoint surgery (``visual.py:44``,
+    e.g. the 35x35 -> 32x32 position-embedding downsample).
+    Dense-matrix form so resizes lower to MXU matmuls, not gathers.
+    """
+    import numpy as np
+
+    centers = np.clip((np.arange(new) + 0.5) * (old / new) - 0.5, 0.0, old - 1.0)
+    lo = np.floor(centers).astype(np.int64)
+    hi = np.minimum(lo + 1, old - 1)
+    frac = (centers - lo).astype(np.float32)
+    w = np.zeros((new, old), np.float32)
+    w[np.arange(new), lo] += 1.0 - frac
+    w[np.arange(new), hi] += frac
+    return jnp.asarray(w)
+
+
 def resample_nd(x: jnp.ndarray, shape: tuple[int, ...], scale: bool = False) -> jnp.ndarray:
     """Linearly resample the trailing spatial dims of ``x`` to ``shape``.
 
     Equivalent of the reference's ``luolib.models.spadop.resample`` (used for
-    position-embedding and conv-kernel adaptation, ``visual.py:44,66``).
+    position-embedding and conv-kernel adaptation, ``visual.py:44,66``), i.e.
+    torch ``interpolate(align_corners=False)`` numerics in every regime
+    (verified against torch in ``tests/test_torch_parity.py``).
     ``scale=True`` preserves the summed response when resizing conv kernels.
     """
     spatial = x.shape[x.ndim - len(shape):]
     if tuple(spatial) == tuple(shape):
         return x
-    out = jax.image.resize(x, (*x.shape[: x.ndim - len(shape)], *shape), method="linear")
+    out = x
+    dtype = x.dtype
+    if dtype != jnp.float32:
+        out = out.astype(jnp.float32)
+    lead = x.ndim - len(shape)
+    for i, (old, new) in enumerate(zip(spatial, shape)):
+        if old == new:
+            continue
+        w = _linear_interp_matrix(old, new)  # (new, old)
+        axis = lead + i
+        out = jnp.moveaxis(jnp.tensordot(out, w, axes=[[axis], [1]]), -1, axis)
     if scale:
         out = out * (math.prod(spatial) / math.prod(shape))
-    return out
+    return out.astype(dtype)
 
 
 def collapse_patch_weight_z(weight: jnp.ndarray, patch_size_z: int) -> jnp.ndarray:
