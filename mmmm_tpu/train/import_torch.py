@@ -169,10 +169,15 @@ def import_segvol_sam(
     pt_patch_size: tuple[int, int, int] = (4, 16, 16),
     pt_pos_embed_shape: tuple[int, int, int] = (8, 8, 8),
     instance: bool = False,
+    fresh_mask_tokens: np.ndarray | None = None,
 ) -> dict:
     """SegVol ``state_dict`` (numpy leaves, keys relative to the sam module)
     -> our sam params tree. Heads absent from the checkpoint (box/disc for
-    iSAM, fresh mask tokens) are left out; merge over a fresh init."""
+    iSAM, fresh mask tokens) are left out; merge over a fresh init.
+
+    ``fresh_mask_tokens``: the freshly initialized (num_mask_tokens, C) table;
+    rows beyond the pretrained ones keep this init (the reference clones the
+    module's own fresh rows, ``mask_decoder.py:83-88``) instead of zeros."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     c = cfg.embed_dim
     L = cfg.encoder_num_layers
@@ -225,7 +230,10 @@ def import_segvol_sam(
     # mask tokens: pad pretrained rows to 1 + num_instances
     mt = sd[md + "mask_tokens.weight"]
     if mt.shape[0] < cfg.num_mask_tokens:
-        pad = np.zeros((cfg.num_mask_tokens - mt.shape[0], mt.shape[1]), mt.dtype)
+        if fresh_mask_tokens is not None:
+            pad = np.asarray(fresh_mask_tokens)[mt.shape[0] : cfg.num_mask_tokens]
+        else:
+            pad = np.zeros((cfg.num_mask_tokens - mt.shape[0], mt.shape[1]), mt.dtype)
         mt = np.concatenate([mt, pad], axis=0)
     mt = mt[: cfg.num_mask_tokens]
 

@@ -438,3 +438,381 @@ def test_inflate_conv_z_center_even_odd():
     # sum over z preserves the 2-D response in both modes
     np.testing.assert_allclose(inflate_conv_z(w, 4, "mean").sum(2), w, atol=1e-6)
     np.testing.assert_allclose(even.sum(2), w, atol=1e-6)
+
+
+# ==========================================================================
+# SegVol SAM parity (encoder surgery + prompt encoder + two-way decoder)
+# Reference math mirrored:
+#   - pre-norm MONAI ViT blocks           image_encoder.py:121-136,204-207
+#   - SegVol patch/pos-embed surgery      image_encoder.py:82-119
+#   - random-Fourier dense PE             prompt_encoder.py:154-201
+#   - text prompt + no-mask dense embed   prompt_encoder.py:124-151
+#   - two-way transformer                 transformer.py:66-239
+#   - mask decoder + z-collapse upscaler  mask_decoder.py:89-149, resample.py:64-94
+#   - box/disc instance heads             sam.py:394-432
+# ==========================================================================
+
+from mmmm_tpu.models.segvol import SamConfig
+from mmmm_tpu.models.segvol.sam import init_sam_params, instance_sam_forward, sam_forward
+from mmmm_tpu.train.import_torch import import_segvol_sam, merge_imported
+
+SAM_CFG = SamConfig(
+    in_channels=3,
+    embed_dim=32,
+    encoder_num_layers=2,
+    encoder_num_heads=4,
+    patch_size=(2, 4, 4),
+    pos_embed_shape=(2, 4, 4),
+    num_instances=3,
+    decoder_depth=2,
+    decoder_num_heads=8,
+    decoder_mlp_dim=64,
+)
+PT_PATCH = (1, 4, 4)      # checkpoint stores z=1 -> resampled to 2 (scale=True)
+PT_POS = (2, 2, 2)        # checkpoint grid -> upsampled to (2, 4, 4)
+PT_MASK_TOKENS = 2        # checkpoint rows < num_mask_tokens=4 -> fresh pad
+
+
+def make_segvol_state_dict(cfg: SamConfig, gen):
+    c = cfg.embed_dim
+
+    def r(*shape):
+        return torch.from_numpy(gen.standard_normal(shape).astype(np.float32) * 0.05)
+
+    p0, p1, p2 = PT_PATCH
+    sd = {
+        "image_encoder.patch_embedding.patch_embeddings.1.weight": r(c, p0 * p1 * p2 * 1),
+        "image_encoder.patch_embedding.patch_embeddings.1.bias": r(c),
+        "image_encoder.patch_embedding.position_embeddings": r(1, int(np.prod(PT_POS)), c),
+        "image_encoder.norm.weight": 1 + 0.1 * r(c),
+        "image_encoder.norm.bias": 0.1 * r(c),
+        "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix": r(3, c // 2),
+        "prompt_encoder.no_mask_embed.weight": r(1, c),
+    }
+    for i in range(cfg.encoder_num_layers):
+        p = f"image_encoder.blocks.{i}."
+        sd[p + "attn.qkv.weight"] = r(3 * c, c)
+        sd[p + "attn.out_proj.weight"] = r(c, c)
+        sd[p + "attn.out_proj.bias"] = r(c)
+        sd[p + "norm1.weight"] = 1 + 0.1 * r(c)
+        sd[p + "norm1.bias"] = 0.1 * r(c)
+        sd[p + "norm2.weight"] = 1 + 0.1 * r(c)
+        sd[p + "norm2.bias"] = 0.1 * r(c)
+        sd[p + "mlp.linear1.weight"] = r(4 * c, c)
+        sd[p + "mlp.linear1.bias"] = r(4 * c)
+        sd[p + "mlp.linear2.weight"] = r(c, 4 * c)
+        sd[p + "mlp.linear2.bias"] = r(c)
+
+    md = "mask_decoder."
+    sd[md + "iou_token.weight"] = r(1, c)
+    sd[md + "mask_tokens.weight"] = r(PT_MASK_TOKENS, c)
+    internal = c // cfg.attention_downsample_rate
+
+    def attn_sd(prefix, idim):
+        sd[prefix + "q_proj.weight"] = r(idim, c)
+        sd[prefix + "q_proj.bias"] = r(idim)
+        sd[prefix + "k_proj.weight"] = r(idim, c)
+        sd[prefix + "k_proj.bias"] = r(idim)
+        sd[prefix + "v_proj.weight"] = r(idim, c)
+        sd[prefix + "v_proj.bias"] = r(idim)
+        sd[prefix + "out_proj.weight"] = r(c, idim)
+        sd[prefix + "out_proj.bias"] = r(c)
+
+    for i in range(cfg.decoder_depth):
+        p = f"{md}transformer.layers.{i}."
+        attn_sd(p + "self_attn.", c)
+        attn_sd(p + "cross_attn_token_to_image.", internal)
+        attn_sd(p + "cross_attn_image_to_token.", internal)
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            sd[p + n + ".weight"] = 1 + 0.1 * r(c)
+            sd[p + n + ".bias"] = 0.1 * r(c)
+        sd[p + "mlp.lin1.weight"] = r(cfg.decoder_mlp_dim, c)
+        sd[p + "mlp.lin1.bias"] = r(cfg.decoder_mlp_dim)
+        sd[p + "mlp.lin2.weight"] = r(c, cfg.decoder_mlp_dim)
+        sd[p + "mlp.lin2.bias"] = r(c)
+    attn_sd(md + "transformer.final_attn_token_to_image.", internal)
+    sd[md + "transformer.norm_final_attn.weight"] = 1 + 0.1 * r(c)
+    sd[md + "transformer.norm_final_attn.bias"] = 0.1 * r(c)
+    sd[md + "output_upscaling.0.weight"] = r(c, c // 4, 2, 2, 2)
+    sd[md + "output_upscaling.0.bias"] = r(c // 4)
+    # 4-D LayerNormNd stats, as SegVol stores them (mean-collapsed on load)
+    sd[md + "output_upscaling.1.weight"] = 1 + 0.1 * r(c // 4, 2, 3, 3)
+    sd[md + "output_upscaling.1.bias"] = 0.1 * r(c // 4, 2, 3, 3)
+    sd[md + "output_upscaling.3.weight"] = r(c // 4, c // 8, 2, 2, 2)
+    sd[md + "output_upscaling.3.bias"] = r(c // 8)
+    for i in range(2):
+        p = f"{md}output_hypernetworks_mlps.{i}."
+        sd[p + "layers.0.weight"] = r(c, c)
+        sd[p + "layers.0.bias"] = r(c)
+        sd[p + "layers.1.weight"] = r(c, c)
+        sd[p + "layers.1.bias"] = r(c)
+        sd[p + "layers.2.weight"] = r(c // 8, c)
+        sd[p + "layers.2.bias"] = r(c // 8)
+    sd[md + "txt_align_upscaled_embedding.weight"] = r(c // 8, c)
+    sd[md + "txt_align_upscaled_embedding.bias"] = r(c // 8)
+    return sd
+
+
+def torch_segvol_surgery(sd, cfg: SamConfig):
+    """SegVol checkpoint adaptation in torch (image_encoder.py:82-119)."""
+    out = dict(sd)
+    c = cfg.embed_dim
+    p0, p1, p2 = PT_PATCH
+    pw = sd["image_encoder.patch_embedding.patch_embeddings.1.weight"]
+    pw = pw.reshape(c, p0, p1, p2, 1).permute(0, 4, 1, 2, 3)
+    if PT_PATCH != tuple(cfg.patch_size):
+        old = p0 * p1 * p2
+        pw = F.interpolate(pw, cfg.patch_size, mode="trilinear", align_corners=False)
+        pw = pw * (old / np.prod(cfg.patch_size))
+    pw = pw.expand(-1, cfg.in_channels, -1, -1, -1) / cfg.in_channels
+    out["__proj3d"] = pw.contiguous()
+    pos = sd["image_encoder.patch_embedding.position_embeddings"]
+    d0, h0, w0 = PT_POS
+    pos = pos.reshape(d0, h0, w0, c).permute(3, 0, 1, 2)[None]
+    if PT_POS != tuple(cfg.pos_embed_shape):
+        pos = F.interpolate(pos, cfg.pos_embed_shape, mode="trilinear", align_corners=False)
+    out["__pos3d"] = pos
+    ln_w = sd["mask_decoder.output_upscaling.1.weight"]
+    ln_b = sd["mask_decoder.output_upscaling.1.bias"]
+    out["__up_ln_w"] = ln_w.reshape(ln_w.shape[0], -1).mean(-1)
+    out["__up_ln_b"] = ln_b.reshape(ln_b.shape[0], -1).mean(-1)
+    return out
+
+
+def torch_segvol_encoder(sd, cfg: SamConfig, image, patch_size):
+    w = sd["__proj3d"]
+    if w.shape[2] != patch_size[0]:
+        assert w.shape[2] % patch_size[0] == 0
+        w = w.reshape(
+            w.shape[0], w.shape[1], patch_size[0], w.shape[2] // patch_size[0], *w.shape[3:]
+        ).sum(3)
+    x = F.conv3d(image, w, sd["image_encoder.patch_embedding.patch_embeddings.1.bias"], stride=patch_size)
+    grid = x.shape[2:]
+    pos = F.interpolate(sd["__pos3d"], grid, mode="trilinear", align_corners=False)
+    x = (x + pos).flatten(2).transpose(1, 2)
+    b, s, c = x.shape
+    nh = cfg.encoder_num_heads
+    for i in range(cfg.encoder_num_layers):
+        p = f"image_encoder.blocks.{i}."
+        h = F.layer_norm(x, (c,), sd[p + "norm1.weight"], sd[p + "norm1.bias"])
+        qkv = h @ sd[p + "attn.qkv.weight"].T
+        q, k, v = [t.reshape(b, s, nh, c // nh).permute(0, 2, 1, 3) for t in qkv.split(c, dim=-1)]
+        attn = ((q * (c // nh) ** -0.5) @ k.transpose(-1, -2)).float().softmax(-1).to(q.dtype) @ v
+        attn = attn.permute(0, 2, 1, 3).reshape(b, s, c)
+        x = x + attn @ sd[p + "attn.out_proj.weight"].T + sd[p + "attn.out_proj.bias"]
+        h = F.layer_norm(x, (c,), sd[p + "norm2.weight"], sd[p + "norm2.bias"])
+        h = F.gelu(h @ sd[p + "mlp.linear1.weight"].T + sd[p + "mlp.linear1.bias"])
+        x = x + h @ sd[p + "mlp.linear2.weight"].T + sd[p + "mlp.linear2.bias"]
+    x = F.layer_norm(x, (c,), sd["image_encoder.norm.weight"], sd["image_encoder.norm.bias"])
+    return x.transpose(1, 2).reshape(b, c, *grid)
+
+
+def torch_dense_pe(sd, grid):
+    g = sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+    h, w, d = grid
+    ones = torch.ones(h, w, d)
+    y = (ones.cumsum(0) - 0.5) / h
+    x = (ones.cumsum(1) - 0.5) / w
+    z = (ones.cumsum(2) - 0.5) / d
+    coords = 2 * torch.stack([x, y, z], dim=-1) - 1
+    proj = 2 * np.pi * (coords @ g)
+    return torch.cat([proj.sin(), proj.cos()], dim=-1).permute(3, 0, 1, 2)
+
+
+def torch_attn(sd, prefix, q, k, v, num_heads):
+    qh = q @ sd[prefix + "q_proj.weight"].T + sd[prefix + "q_proj.bias"]
+    kh = k @ sd[prefix + "k_proj.weight"].T + sd[prefix + "k_proj.bias"]
+    vh = v @ sd[prefix + "v_proj.weight"].T + sd[prefix + "v_proj.bias"]
+    internal = qh.shape[-1]
+    d = internal // num_heads
+
+    def split(t):
+        return t.reshape(*t.shape[:-1], num_heads, d).transpose(-3, -2)
+
+    qh, kh, vh = split(qh), split(kh), split(vh)
+    probs = ((qh * d ** -0.5) @ kh.transpose(-1, -2)).float().softmax(-1).to(qh.dtype)
+    out = (probs @ vh).transpose(-3, -2).reshape(*q.shape[:-1], internal)
+    return out @ sd[prefix + "out_proj.weight"].T + sd[prefix + "out_proj.bias"]
+
+
+def torch_two_way(sd, cfg: SamConfig, image_emb, image_pe, tokens):
+    md = "mask_decoder.transformer."
+    h = cfg.decoder_num_heads
+    queries, keys = tokens, image_emb
+
+    def ln(prefix, x):
+        return F.layer_norm(x, (x.shape[-1],), sd[prefix + "weight"], sd[prefix + "bias"])
+
+    for i in range(cfg.decoder_depth):
+        p = f"{md}layers.{i}."
+        if i == 0:
+            queries = torch_attn(sd, p + "self_attn.", queries, queries, queries, h)
+        else:
+            q = queries + tokens
+            queries = queries + torch_attn(sd, p + "self_attn.", q, q, queries, h)
+        queries = ln(p + "norm1.", queries)
+        q = queries + tokens
+        k = keys + image_pe
+        queries = queries + torch_attn(sd, p + "cross_attn_token_to_image.", q, k, keys, h)
+        queries = ln(p + "norm2.", queries)
+        mlp = F.relu(queries @ sd[p + "mlp.lin1.weight"].T + sd[p + "mlp.lin1.bias"])
+        mlp = mlp @ sd[p + "mlp.lin2.weight"].T + sd[p + "mlp.lin2.bias"]
+        queries = ln(p + "norm3.", queries + mlp)
+        q = queries + tokens
+        k = keys + image_pe
+        keys = keys + torch_attn(sd, p + "cross_attn_image_to_token.", k, q, queries, h)
+        keys = ln(p + "norm4.", keys)
+    q = queries + tokens
+    k = keys + image_pe
+    queries = queries + torch_attn(sd, md + "final_attn_token_to_image.", q, k, keys, h)
+    queries = ln(md + "norm_final_attn.", queries)
+    return queries, keys
+
+
+def torch_upsample(x, w, b, patch_size_z, cnt):
+    if patch_size_z < (1 << (cnt + 1)):
+        w = w.mean(2, keepdim=True)
+        stride = (1, 2, 2)
+    else:
+        stride = (2, 2, 2)
+    return F.conv_transpose3d(x, w, b, stride)
+
+
+def torch_mask_decoder(sd, cfg: SamConfig, emb, pe, text, patch_size_z, mask_tokens):
+    md = "mask_decoder."
+    c, gd, gh, gw = emb.shape
+    output_tokens = torch.cat([sd[md + "iou_token.weight"], mask_tokens], dim=0)
+    tokens = torch.cat([output_tokens, text[None]], dim=0)
+    dense = sd["prompt_encoder.no_mask_embed.weight"].reshape(-1, 1, 1, 1).expand(c, gd, gh, gw)
+    src = (emb + dense).reshape(c, -1).T
+    pe_t = pe.reshape(c, -1).T
+    hs, src = torch_two_way(sd, cfg, src, pe_t, tokens)
+    mask_tokens_out = hs[1 : 1 + cfg.num_mask_tokens]
+    up = src.T.reshape(1, c, gd, gh, gw)
+    up = torch_upsample(up, sd[md + "output_upscaling.0.weight"], sd[md + "output_upscaling.0.bias"], patch_size_z, 0)
+    up = F.layer_norm(
+        up.permute(0, 2, 3, 4, 1), (c // 4,), sd["__up_ln_w"], sd["__up_ln_b"]
+    ).permute(0, 4, 1, 2, 3)
+    up = F.gelu(up)
+    up = torch_upsample(up, sd[md + "output_upscaling.3.weight"], sd[md + "output_upscaling.3.bias"], patch_size_z, 1)
+    up = F.gelu(up)[0]
+
+    def mlp3(prefix, t):
+        t = F.relu(t @ sd[prefix + "layers.0.weight"].T + sd[prefix + "layers.0.bias"])
+        t = F.relu(t @ sd[prefix + "layers.1.weight"].T + sd[prefix + "layers.1.bias"])
+        return t @ sd[prefix + "layers.2.weight"].T + sd[prefix + "layers.2.bias"]
+
+    hyper = torch.cat(
+        [
+            mlp3(md + "output_hypernetworks_mlps.0.", mask_tokens_out[:1]),
+            mlp3(md + "output_hypernetworks_mlps.1.", mask_tokens_out[1:]),
+        ],
+        dim=0,
+    )
+    masks = torch.einsum("mc,cdhw->mdhw", hyper, up)
+    txt = text @ sd[md + "txt_align_upscaled_embedding.weight"].T + sd[md + "txt_align_upscaled_embedding.bias"]
+    masks = masks + torch.einsum("c,cdhw->dhw", txt, up)[None]
+    return masks, mask_tokens_out
+
+
+@pytest.fixture(scope="module")
+def segvol_imported():
+    gen = np.random.default_rng(21)
+    sd = make_segvol_state_dict(SAM_CFG, gen)
+    fresh = init_sam_params(jax.random.PRNGKey(5), SAM_CFG, instance=True)
+    imported = import_segvol_sam(
+        {k: v.numpy() for k, v in sd.items()},
+        SAM_CFG,
+        pt_in_channels=1,
+        pt_patch_size=PT_PATCH,
+        pt_pos_embed_shape=PT_POS,
+        fresh_mask_tokens=np.asarray(fresh["decoder"]["mask_tokens"]),
+    )
+    params = jax.tree.map(jnp.asarray, merge_imported(fresh, imported))
+    return sd, params
+
+
+def test_segvol_surgery_matches_torch(segvol_imported):
+    sd, params = segvol_imported
+    tsd = torch_segvol_surgery(sd, SAM_CFG)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["patch"]["proj_w"]), tsd["__proj3d"].numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["patch"]["pos"]), tsd["__pos3d"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["up_ln"]["w"]), tsd["__up_ln_w"].numpy(), atol=1e-6
+    )
+    # pretrained mask-token rows imported, extra rows keep the fresh init
+    mt = np.asarray(params["decoder"]["mask_tokens"])
+    np.testing.assert_allclose(mt[:PT_MASK_TOKENS], sd["mask_decoder.mask_tokens.weight"].numpy())
+    assert np.abs(mt[PT_MASK_TOKENS:]).sum() > 0
+
+
+@pytest.mark.parametrize("patch_z", [2, 1])
+def test_segvol_semantic_forward_parity(segvol_imported, patch_z):
+    """sam_forward (encoder + text prompt + two-way decoder + z-aware
+    upscaling + trilinear upsample) == torch mirror."""
+    sd, params = segvol_imported
+    tsd = torch_segvol_surgery(sd, SAM_CFG)
+    gen = np.random.default_rng(31)
+    image = gen.standard_normal((1, 3, 2, 16, 16)).astype(np.float32)
+    prompts = gen.standard_normal((1, 2, SAM_CFG.embed_dim)).astype(np.float32)
+    patch = (patch_z, 4, 4)
+
+    t_emb = torch_segvol_encoder(tsd, SAM_CFG, torch.from_numpy(image), patch)
+    pe = torch_dense_pe(tsd, t_emb.shape[2:])
+    mt = torch.from_numpy(np.asarray(params["decoder"]["mask_tokens"]))
+    want = []
+    for n in range(prompts.shape[1]):
+        m, _ = torch_mask_decoder(
+            tsd, SAM_CFG, t_emb[0], pe, torch.from_numpy(prompts[0, n]), patch_z, mt
+        )
+        want.append(
+            F.interpolate(m[0][None, None], image.shape[2:], mode="trilinear")[0, 0]
+        )
+    want = torch.stack(want)[None]  # (1, N, D, H, W) semantic token
+
+    got, _ = jax.jit(
+        lambda p, im, pr: sam_forward(p, SAM_CFG, im, patch, pr, attn_impl="xla")
+    )(params, jnp.asarray(image), jnp.asarray(prompts))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_segvol_instance_heads_parity(segvol_imported):
+    """Box/disc head math on the decoder token embeddings == torch mirror
+    (heads are fresh-initialized; weights shared via the merged tree)."""
+    sd, params = segvol_imported
+    tsd = torch_segvol_surgery(sd, SAM_CFG)
+    gen = np.random.default_rng(41)
+    image = gen.standard_normal((1, 3, 2, 16, 16)).astype(np.float32)
+    prompts = gen.standard_normal((1, 1, SAM_CFG.embed_dim)).astype(np.float32)
+    patch = (2, 4, 4)
+
+    out = jax.jit(
+        lambda p, im, pr: dataclasses_to_tuple(
+            instance_sam_forward(p, SAM_CFG, im, patch, pr, attn_impl="xla")
+        )
+    )(params, jnp.asarray(image), jnp.asarray(prompts))
+    masks, masks_low, boxes, disc = out
+
+    t_emb = torch_segvol_encoder(tsd, SAM_CFG, torch.from_numpy(image), patch)
+    pe = torch_dense_pe(tsd, t_emb.shape[2:])
+    mt = torch.from_numpy(np.asarray(params["decoder"]["mask_tokens"]))
+    _, tok = torch_mask_decoder(
+        tsd, SAM_CFG, t_emb[0], pe, torch.from_numpy(prompts[0, 0]), 2, mt
+    )
+    bh = {k: torch.from_numpy(np.asarray(v)) for k, v in params["box_head"].items()}
+    x = F.relu(tok @ bh["w1"] + bh["b1"])
+    x = F.relu(x @ bh["w2"] + bh["b2"])
+    want_boxes = torch.sigmoid(x @ bh["w3"] + bh["b3"])
+    dh = {k: torch.from_numpy(np.asarray(v)) for k, v in params["disc_head"].items()}
+    y = F.relu(tok[1:] @ dh["w1"] + dh["b1"])
+    want_disc = (y @ dh["w2"] + dh["b2"])[:, 0]
+    np.testing.assert_allclose(np.asarray(boxes)[0, 0], want_boxes.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(disc)[0, 0], want_disc.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def dataclasses_to_tuple(o):
+    return (o.masks_logits, o.masks_logits_low_res, o.boxes, o.disc_logit)
