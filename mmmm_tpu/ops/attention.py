@@ -14,8 +14,9 @@ multi-image streams (one segment per image), and mixed packing.
 
 Two interchangeable implementations:
   - ``xla``: reference einsum implementation, differentiable, runs anywhere.
-  - ``pallas``: flash-attention forward kernel (``flash.py``); backward
-    currently recomputes through the XLA path via ``jax.custom_vjp``.
+  - ``pallas``: flash-attention kernels (``flash.py``) — Pallas forward plus
+    Pallas dq and dk/dv backward kernels wired via ``jax.custom_vjp``, all
+    streaming K/V (resp. q/dO) blocks from HBM.
 
 Numerics: softmax in fp32; fully-masked query rows produce zeros (matching the
 reference's zero-initialized output buffer, ``modeling_cogvlm.py:119``).
