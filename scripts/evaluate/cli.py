@@ -100,22 +100,85 @@ def cmd_predict(args):
     print(f"wrote {len(rows)} predictions to {args.output}")
 
 
+def _build_model_hooks(args):
+    """Instantiate model-backed scorers for whichever checkpoints exist."""
+    hooks = {}
+    if args.chexbert:
+        from transformers import AutoTokenizer
+
+        from mmmm_tpu.eval.models import ChexbertLabeler
+
+        tok = AutoTokenizer.from_pretrained(args.chexbert_tokenizer or "bert-base-uncased",
+                                            local_files_only=True)
+        hooks["chexbert"] = ChexbertLabeler(args.chexbert, tokenizer=tok)
+    if args.radbert:
+        from transformers import AutoTokenizer
+
+        from mmmm_tpu.eval.models import RadBertClassifier
+
+        tok = AutoTokenizer.from_pretrained(args.radbert_tokenizer, local_files_only=True)
+        hooks["radbert"] = RadBertClassifier(args.radbert, tokenizer=tok)
+    if args.bertscore_model:
+        from mmmm_tpu.eval.models import BERTScorer
+
+        hooks["bertscore"] = BERTScorer(model_dir=args.bertscore_model)
+    return hooks
+
+
 def cmd_evaluate(args):
-    from mmmm_tpu.eval import CXRMetrics, GenericMetrics
+    from mmmm_tpu.eval import CTMetrics, CXRMetrics, GenericMetrics
+    from mmmm_tpu.eval.composite import RADCLIQ_COLUMNS, radcliq_scores
 
     with open(args.input) as f:
         rows = list(csv.DictReader(f))
     predictions = [r["prediction"] for r in rows]
     references = [r["answer"] for r in rows]
+    hooks = _build_model_hooks(args)
     suite = {}
+    columns: dict[str, list[float]] = {}
     if args.suite in ("generic", "all"):
-        suite.update(GenericMetrics().compute_all(predictions, references))
+        gm = GenericMetrics(bertscore_fn=hooks.get("bertscore"))
+        per_row = [gm.compute(p, r) for p, r in zip(predictions, references)]
+        for k in per_row[0] if per_row else []:
+            columns[k] = [x[k] for x in per_row]
+            suite[k] = sum(columns[k]) / len(columns[k])
     if args.suite in ("cxr", "all"):
-        suite.update(CXRMetrics().compute(predictions, references))
+        cxr = CXRMetrics(labeler=hooks.get("chexbert"))
+        suite.update(cxr.compute(predictions, references))
+        suite["chexbert_model_backed"] = float("chexbert" in hooks)
+        if "chexbert" in hooks:
+            columns["chexbert"] = [
+                hooks["chexbert"].similarity(p, r)
+                for p, r in zip(predictions, references)
+            ]
+            suite["chexbert"] = sum(columns["chexbert"]) / len(columns["chexbert"])
+    if args.suite == "ct":
+        ct = CTMetrics(labeler=hooks.get("radbert"))
+        suite.update(ct.compute(predictions, references=references))
+        suite["radbert_model_backed"] = float("radbert" in hooks)
+    if args.suite in ("cxr", "all"):
+        # RadCliQ composite over [radgraph, bertscore, chexbert, bleu2];
+        # missing model-backed columns are zero-filled and the run is flagged.
+        missing = [c for c in RADCLIQ_COLUMNS if c not in columns]
+        n = len(predictions)
+        full = {c: columns.get(c, [0.0] * n) for c in RADCLIQ_COLUMNS}
+        scores = radcliq_scores(full, checkpoint_dir=args.radcliq_dir)
+        for k, v in scores.items():
+            suite[k] = sum(v) / len(v) if v else 0.0
+        if missing:
+            suite["radcliq_missing_columns"] = float(len(missing))
     out = {k: round(v, 4) for k, v in suite.items()}
     print(json.dumps(out, indent=2))
     if args.output:
         Path(args.output).write_text(json.dumps(out, indent=2))
+    if args.per_row_output and columns:
+        with open(args.per_row_output, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=["question", "answer", "prediction", *columns])
+            writer.writeheader()
+            for i, row in enumerate(rows):
+                row = {k: row.get(k, "") for k in ("question", "answer", "prediction")}
+                row.update({k: round(columns[k][i], 4) for k in columns})
+                writer.writerow(row)
 
 
 def main(argv=None):
@@ -133,8 +196,15 @@ def main(argv=None):
     e = sub.add_parser("evaluate")
     e.add_argument("--task", choices=["vqa", "report"], default="report")
     e.add_argument("--input", required=True)
-    e.add_argument("--suite", choices=["generic", "cxr", "all"], default="all")
+    e.add_argument("--suite", choices=["generic", "cxr", "ct", "all"], default="all")
     e.add_argument("--output")
+    e.add_argument("--per-row-output", help="CSV with per-study metric columns")
+    e.add_argument("--chexbert", help="CheXbert checkpoint (.pth) for model-backed CXR labels")
+    e.add_argument("--chexbert-tokenizer", help="local bert-base-uncased tokenizer dir")
+    e.add_argument("--radbert", help="RadBertClassifier checkpoint for CT labels")
+    e.add_argument("--radbert-tokenizer", help="local RadBERT tokenizer dir")
+    e.add_argument("--bertscore-model", help="local HF encoder dir for BERTScore")
+    e.add_argument("--radcliq-dir", help="dir with normalizer.pkl + composite_metric_v{0,1}.pkl")
     e.set_defaults(func=cmd_evaluate)
     args = parser.parse_args(argv)
     args.func(args)
