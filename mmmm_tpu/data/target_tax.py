@@ -29,72 +29,168 @@ class TargetClass:
             self.synonyms = [self.name, *self.synonyms]
 
 
+_VERTEBRAE = ["C1", "C2", "C3", "C4", "C5", "C6", "C7",
+              "T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10", "T11", "T12",
+              "L1", "L2", "L3", "L4", "L5", "L6"]
+_DISCS = ["L5-S1", "L4-L5", "L3-L4", "L2-L3", "L1-L2", "T12-L1",
+          "T11-T12", "T10-T11", "T9-T10"]
+_RIBS = [f"{side} rib {i}" for side in ("left", "right") for i in range(1, 13)]
+
+
+def _lr(name: str, category: str, synonyms: list[str] | None = None):
+    """left/right pair + the unsided parent class."""
+    out = [TargetClass(name, category, list(synonyms or []))]
+    for side in ("left", "right"):
+        out.append(TargetClass(f"{side} {name}", category, parents=[name]))
+    return out
+
+
 _BUILTIN = [
-    # anatomy
+    # ---- anatomy: thorax / abdomen / pelvis (AMOS, BTCV, WORD, TotalSegmentator...)
     TargetClass("liver", ANATOMY, ["hepar"]),
     TargetClass("heart", ANATOMY, ["cardiac silhouette"]),
-    TargetClass("left lung", ANATOMY),
-    TargetClass("right lung", ANATOMY),
-    TargetClass("kidney", ANATOMY, ["renal organ"]),
-    TargetClass("left kidney", ANATOMY),
-    TargetClass("right kidney", ANATOMY),
+    *_lr("lung", ANATOMY),
+    *_lr("kidney", ANATOMY, ["renal organ"]),
     TargetClass("spleen", ANATOMY),
     TargetClass("gallbladder", ANATOMY),
     TargetClass("esophagus", ANATOMY),
+    TargetClass("cervical esophagus", ANATOMY, parents=["esophagus"]),
     TargetClass("stomach", ANATOMY),
     TargetClass("aorta", ANATOMY),
+    TargetClass("aortic vessel tree", ANATOMY, parents=["aorta"]),
     TargetClass("inferior vena cava", ANATOMY, ["IVC"]),
+    TargetClass("portal vein and splenic vein", ANATOMY, ["portal and splenic veins"]),
+    TargetClass("pulmonary artery", ANATOMY),
     TargetClass("pancreas", ANATOMY),
-    TargetClass("left adrenal gland", ANATOMY),
-    TargetClass("right adrenal gland", ANATOMY),
+    *_lr("adrenal gland", ANATOMY, ["suprarenal gland"]),
     TargetClass("duodenum", ANATOMY),
     TargetClass("urinary bladder", ANATOMY, ["bladder"]),
     TargetClass("prostate", ANATOMY),
-    TargetClass("colon", ANATOMY),
-    TargetClass("intestine", ANATOMY, ["small bowel"]),
+    TargetClass("uterus", ANATOMY),
+    TargetClass("colon", ANATOMY, ["large intestine", "large bowel"]),
+    TargetClass("intestine", ANATOMY, ["bowel"]),
+    TargetClass("small intestine", ANATOMY, ["small bowel"], parents=["intestine"]),
     TargetClass("rectum", ANATOMY),
+    TargetClass("trachea", ANATOMY),
+    TargetClass("airway", ANATOMY, ["airway tree", "bronchial tree"]),
+    TargetClass("mediastinal lymph node", ANATOMY, ["mediastinal lymph nodes"]),
+    TargetClass("breast", ANATOMY),
+    # cardiac (ACDC, MSD-Heart)
     TargetClass("left atrium", ANATOMY),
-    TargetClass("hepatic vessel", ANATOMY),
-    TargetClass("anterior hippocampus", ANATOMY),
-    TargetClass("posterior hippocampus", ANATOMY),
-    TargetClass("peripheral zone of prostate", ANATOMY),
-    TargetClass("transition zone of prostate", ANATOMY),
-    TargetClass("left head of femur", ANATOMY),
-    TargetClass("right head of femur", ANATOMY),
-    *[
-        TargetClass(f"vertebra {v}", ANATOMY)
-        for v in ["C1", "C2", "C3", "C4", "C5", "C6", "C7",
-                  "T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10", "T11", "T12",
-                  "L1", "L2", "L3", "L4", "L5"]
-    ],
-    # anomaly
+    TargetClass("right atrium", ANATOMY),
+    TargetClass("left ventricle cavity", ANATOMY, ["left ventricle", "left ventricular cavity"]),
+    TargetClass("right ventricle cavity", ANATOMY, ["right ventricle", "right ventricular cavity"]),
+    TargetClass("myocardium", ANATOMY, ["left ventricular myocardium"]),
+    TargetClass("pericardium", ANATOMY),
+    # vessels / misc
+    TargetClass("hepatic vessel", ANATOMY, ["hepatic vessels"]),
+    *_lr("carotid artery", ANATOMY),
+    # prostate sub-anatomy (MSD-Prostate, Prostate158)
+    TargetClass("peripheral zone of prostate", ANATOMY, parents=["prostate"]),
+    TargetClass("transition zone of prostate", ANATOMY, ["central gland"], parents=["prostate"]),
+    # brain / head & neck (HaN-Seg, SegRap2023, MSD-Hippocampus)
+    TargetClass("brain", ANATOMY),
+    TargetClass("brainstem", ANATOMY, ["brain stem"]),
+    TargetClass("pituitary", ANATOMY, ["pituitary gland", "hypophysis"]),
+    TargetClass("optic chiasm", ANATOMY, ["chiasm"]),
+    *_lr("optic nerve", ANATOMY),
+    *_lr("temporal lobe", ANATOMY),
+    *_lr("hippocampus", ANATOMY),
+    TargetClass("anterior hippocampus", ANATOMY, parents=["hippocampus"]),
+    TargetClass("posterior hippocampus", ANATOMY, parents=["hippocampus"]),
+    *_lr("eye", ANATOMY, ["eyeball"]),
+    TargetClass("anterior segment of left eyeball", ANATOMY, parents=["left eye"]),
+    TargetClass("anterior segment of right eyeball", ANATOMY, parents=["right eye"]),
+    TargetClass("posterior segment of left eyeball", ANATOMY, parents=["left eye"]),
+    TargetClass("posterior segment of right eyeball", ANATOMY, parents=["right eye"]),
+    TargetClass("lens of left eye", ANATOMY, parents=["left eye"]),
+    TargetClass("lens of right eye", ANATOMY, parents=["right eye"]),
+    *_lr("lacrimal gland", ANATOMY),
+    *_lr("cochlea", ANATOMY),
+    *_lr("middle ear", ANATOMY),
+    *_lr("internal auditory canal", ANATOMY, ["IAC"]),
+    *_lr("tympanic cavity", ANATOMY),
+    *_lr("semicircular canal", ANATOMY, ["vestibular semicircular canals"]),
+    *_lr("eustachian tube", ANATOMY),
+    *_lr("mastoid bone", ANATOMY, ["mastoid"]),
+    *_lr("temporomandibular joint", ANATOMY, ["TMJ"]),
+    *_lr("parotid gland", ANATOMY),
+    *_lr("submandibular gland", ANATOMY),
+    TargetClass("thyroid", ANATOMY, ["thyroid gland"]),
+    TargetClass("mandible", ANATOMY),
+    TargetClass("left mandible", ANATOMY, parents=["mandible"]),
+    TargetClass("right mandible", ANATOMY, parents=["mandible"]),
+    TargetClass("oral cavity", ANATOMY),
+    TargetClass("buccal mucosa", ANATOMY),
+    TargetClass("lip", ANATOMY, ["lips"]),
+    TargetClass("arytenoid cartilages", ANATOMY, ["arytenoids"]),
+    TargetClass("cricopharyngeus", ANATOMY, ["cricopharyngeal inlet"]),
+    TargetClass("larynx", ANATOMY),
+    TargetClass("glottis", ANATOMY, ["glottic larynx"], parents=["larynx"]),
+    TargetClass("supraglottis", ANATOMY, ["supraglottic larynx"], parents=["larynx"]),
+    TargetClass("pharynx", ANATOMY, ["pharynx constrictor muscles"]),
+    TargetClass("spinal cord", ANATOMY),
+    # skeleton (VerSe, CTSpine1K, CTPelvic1K, PENGWIN, MRSpineSeg)
+    TargetClass("sacrum", ANATOMY),
+    *_lr("hip bone", ANATOMY, ["pelvic bone", "innominate bone"]),
+    *_lr("head of femur", ANATOMY, ["femoral head"]),
+    *[TargetClass(f"{v} vertebra", ANATOMY, [f"vertebra {v}"]) for v in _VERTEBRAE],
+    *[TargetClass(f"{d} intervertebral disc", ANATOMY) for d in _DISCS],
+    *[TargetClass(r, ANATOMY) for r in _RIBS],
+    *_lr("clavicle", ANATOMY, ["collarbone"]),
+    *_lr("scapula", ANATOMY, ["shoulder blade"]),
+    *_lr("humerus", ANATOMY),
+    *_lr("femur", ANATOMY),
+    TargetClass("sternum", ANATOMY, ["breastbone"]),
+    # ---- anomaly
     TargetClass("glioma", ANOMALY, ["brain tumor"]),
+    TargetClass("meningioma", ANOMALY),
+    TargetClass("brain metastasis", ANOMALY, ["brain metastases"]),
     TargetClass("nodule", ANOMALY, ["pulmonary nodule", "lung nodule"]),
     TargetClass("pleural effusion", ANOMALY, ["effusion"]),
-    TargetClass("cardiomegaly", ANOMALY, ["enlarged heart"]),
+    TargetClass("pericardial effusion", ANOMALY),
+    TargetClass("cardiomegaly", ANOMALY, ["enlarged heart", "enlarged cardiac silhouette"]),
     TargetClass("kidney tumor", ANOMALY, ["renal tumor"]),
     TargetClass("kidney cyst", ANOMALY, ["renal cyst"]),
     TargetClass("liver tumor", ANOMALY, ["hepatic tumor"]),
     TargetClass("lung tumor", ANOMALY),
-    TargetClass("pancreatic tumor", ANOMALY),
+    TargetClass("pancreatic tumor", ANOMALY, ["pancreatic cancer"]),
     TargetClass("colon cancer", ANOMALY, ["colorectal cancer"]),
+    TargetClass("prostate cancer", ANOMALY, ["prostate carcinoma"]),
+    TargetClass("breast cancer", ANOMALY, ["breast tumor"]),
+    TargetClass("stroke lesion", ANOMALY, ["infarct lesion", "ischemic stroke lesion"]),
+    TargetClass("tumor", ANOMALY, ["neoplasm", "lesion"]),
     TargetClass("necrotic tumor core", ANOMALY),
     TargetClass("peritumoral edema", ANOMALY),
     TargetClass("enhancing tumor", ANOMALY),
     TargetClass("non-enhancing tumor core", ANOMALY),
-    TargetClass("atelectasis", ANOMALY),
+    TargetClass("atelectasis", ANOMALY, ["collapsed lung tissue"]),
     TargetClass("pneumothorax", ANOMALY),
+    TargetClass("pneumonia", ANOMALY),
+    TargetClass("emphysema", ANOMALY),
     TargetClass("pulmonary consolidation", ANOMALY, ["consolidation"]),
     TargetClass("pulmonary edema", ANOMALY, ["edema"]),
-    TargetClass("pulmonary fibrosis", ANOMALY, ["fibrosis"]),
-    TargetClass("aortic enlargement", ANOMALY),
+    TargetClass("pulmonary fibrosis", ANOMALY, ["fibrosis", "pulmonary fibrotic sequela"]),
+    TargetClass("aortic enlargement", ANOMALY, ["dilated aorta"]),
     TargetClass("calcification", ANOMALY),
+    TargetClass("arterial wall calcification", ANOMALY, parents=["calcification"]),
+    TargetClass("coronary artery wall calcification", ANOMALY, parents=["calcification"]),
     TargetClass("interstitial lung disease", ANOMALY, ["ILD"]),
-    TargetClass("pulmonary opacification", ANOMALY, ["lung opacity"]),
+    TargetClass("pulmonary opacification", ANOMALY, ["lung opacity", "opacity"]),
     TargetClass("pleural thickening", ANOMALY),
     TargetClass("rib fracture", ANOMALY),
     TargetClass("clavicle fracture", ANOMALY),
+    TargetClass("bone fracture", ANOMALY, ["fracture"]),
     TargetClass("mediastinal shift", ANOMALY),
+    TargetClass("enlarged cardiomediastinum", ANOMALY, ["widened mediastinum"]),
+    TargetClass("lymphadenopathy", ANOMALY, ["enlarged lymph node"]),
+    TargetClass("hiatal hernia", ANOMALY, ["hiatus hernia"]),
+    TargetClass("bronchiectasis", ANOMALY),
+    TargetClass("mosaic attenuation pattern", ANOMALY),
+    TargetClass("peribronchial thickening", ANOMALY, ["peribronchial wall thickening"]),
+    TargetClass("interlobular septal thickening", ANOMALY, ["septal thickening"]),
+    TargetClass("infiltration", ANOMALY, ["pulmonary infiltrate"]),
+    TargetClass("support device", ANOMALY, ["medical device", "medical material"]),
 ]
 
 

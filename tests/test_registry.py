@@ -54,7 +54,10 @@ def test_build_processor_with_recipe(tmp_path):
 
 
 def test_registry_coverage():
-    assert len(REGISTRY) >= 15
+    # the reference enables 34 datasets in conf/phase-vg/data.yaml and ships
+    # 35 processor subclasses; the registry must cover at least that
+    assert len(REGISTRY) >= 34
     tax = get_target_tax()
     anomalies = [n for n, t in tax.items() if t.category == ANOMALY]
-    assert len(anomalies) >= 20
+    assert len(anomalies) >= 40
+    assert len(tax) >= 180
