@@ -73,3 +73,60 @@ def load_adapter(path: str | Path) -> dict:
             cur = cur.setdefault(p, {})
         cur[parts[-1]] = data[key]
     return tree
+
+
+def save_params(path: str | Path, tree) -> None:
+    """Flat-npz save of an arbitrary dict/list tree of arrays (list indices
+    become ``idx:N`` key segments). Non-array leaves are JSON-encoded."""
+    import json
+
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path / "params.npz"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else str(k))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}/idx:{i}" if prefix else f"idx:{i}")
+        elif hasattr(node, "shape"):
+            flat[prefix] = np.asarray(node)
+        else:
+            flat[prefix + "\x00json"] = np.frombuffer(
+                json.dumps(node).encode(), dtype=np.uint8
+            )
+
+    walk(tree, "")
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path: str | Path):
+    """Inverse of ``save_params``."""
+    import json
+
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path / "params.npz"
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        is_json = key.endswith("\x00json")
+        parts = (key[: -len("\x00json")] if is_json else key).split("/")
+        cur = tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = json.loads(bytes(data[key]).decode()) if is_json else data[key]
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.startswith("idx:") for k in node):
+            return [node[f"idx:{i}"] for i in range(len(node))]
+        return node
+
+    return listify(tree)
