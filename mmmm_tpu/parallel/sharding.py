@@ -94,6 +94,45 @@ def param_shardings(tree, mesh: Mesh, rules: PartitionRules = PartitionRules()):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
+def fsdp_shardings(
+    tree,
+    mesh: Mesh,
+    rules: PartitionRules = PartitionRules(),
+    axis: str = "data",
+    min_size: int = 1 << 16,
+):
+    """TP spec + ZeRO-3 sharding of each large leaf over the ``axis`` axis.
+
+    The frozen 17-B base params otherwise replicate per data rank — the HBM
+    ceiling (VERDICT r1). For every leaf at least ``min_size`` elements, the
+    largest dimension that is (a) not already TP-sharded, (b) divisible by the
+    axis size, and (c) not the stacked-layer leading dim (scan slices it every
+    step) additionally shards over ``axis``; XLA all-gathers just-in-time per
+    use, ZeRO-3 style. Small leaves keep the plain TP spec.
+    """
+    n = mesh.shape[axis]
+    flat, treedef = _flatten_paths(tree)
+    out = []
+    for path, leaf in flat:
+        ndim = getattr(leaf, "ndim", 0)
+        base = rules.spec_for(path, ndim)
+        spec = list(base) + [None] * (ndim - len(base))
+        size = getattr(leaf, "size", 0)
+        if n > 1 and size >= min_size and ndim > 0:
+            stacked = re.search(r"/layers/", "/" + path + "/") is not None
+            cand = [
+                d for d in range(ndim)
+                if spec[d] is None
+                and leaf.shape[d] % n == 0
+                and not (stacked and d == 0)
+            ]
+            if cand:
+                best = max(cand, key=lambda d: leaf.shape[d])
+                spec[best] = axis
+        out.append(NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def batch_shardings(batch, mesh: Mesh):
     """Shard the leading (batch) dim of every array leaf over ``data``."""
 

@@ -22,7 +22,8 @@ import optax
 
 from ..models import MMMMModel
 from ..peft import LoraConfig, lora_init, lora_merge, merge_trainable, split_trainable
-from ..parallel.sharding import batch_shardings, param_shardings
+from ..parallel.distributed import global_batch
+from ..parallel.sharding import fsdp_shardings, param_shardings
 
 
 @dataclasses.dataclass
@@ -146,7 +147,11 @@ def make_train_step(
             return jit_step(state, frozen, arrays, patch, pool)
         return run
 
-    # sharded path: place inputs explicitly, let jit reuse their shardings
+    # sharded path: place inputs explicitly, let jit reuse their shardings.
+    # Frozen base params get FSDP (ZeRO-3) over the data axis on top of TP —
+    # they are the HBM ceiling when replicated per data rank; XLA all-gathers
+    # them just-in-time per use. The batch is assembled from process-local
+    # shards (multi-host) or device_put (single host) by ``global_batch``.
     def run_sharded(state, frozen, batch):
         arrays, patch, pool = split_batch(batch)
         state = jax.device_put(
@@ -157,8 +162,8 @@ def make_train_step(
                 param_shardings(state.opt_state, mesh),
             ),
         )
-        frozen = jax.device_put(frozen, param_shardings(frozen, mesh))
-        arrays = jax.device_put(arrays, batch_shardings(arrays, mesh))
+        frozen = jax.device_put(frozen, fsdp_shardings(frozen, mesh))
+        arrays = global_batch(arrays, mesh)
         return jit_step(state, frozen, arrays, patch, pool)
 
     return run_sharded

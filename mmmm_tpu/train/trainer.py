@@ -66,6 +66,11 @@ class Trainer:
         self.optimizer = make_optimizer(opt_cfg)
         self.out_dir = Path(cfg.out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
+        # multi-process (multi-host) runtime: no-op single-process, otherwise
+        # the mesh below spans global devices and the sampler shards per host
+        from ..parallel.distributed import init_distributed
+
+        init_distributed()
         self.mesh = None
         n_dev = len(jax.devices())
         if cfg.mesh_model > 1 or cfg.mesh_data is not None or n_dev > 1:
@@ -123,7 +128,13 @@ class Trainer:
         )
         # stream enough samples for the remaining steps (some batches flush partial)
         remaining = cfg.max_steps - start_step
-        stream = self.dataset.stream(remaining * cfg.batch_size * 2, seed=cfg.seed + start_step)
+        from ..parallel.distributed import process_rank
+
+        rank, world = process_rank()
+        stream = self.dataset.stream(
+            remaining * cfg.batch_size * 2, seed=cfg.seed + start_step,
+            rank=rank, world_size=world,
+        )
 
         step_i = start_step
         t0 = time.time()
