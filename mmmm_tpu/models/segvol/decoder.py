@@ -29,11 +29,35 @@ from .config import SamConfig
 # ---------------------------------------------------------------------------
 
 def init_prompt_encoder_params(key, cfg: SamConfig, dtype=jnp.float32) -> dict:
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    c = cfg.embed_dim
+    mc = 16  # mask_in_chans (ref prompt_encoder.py:21)
+
+    def nrm(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    ks = jax.random.split(k5, 3)
     return {
         # (3, C/2) gaussian matrix, registered buffer in the reference
         "pe_gaussian": jax.random.normal(k1, (3, cfg.embed_dim // 2)).astype(dtype),
-        "no_mask_embed": (jax.random.normal(k2, (cfg.embed_dim,)) * 0.02).astype(dtype),
+        "no_mask_embed": nrm(k2, (c,)),
+        # 4 point identities: neg point, pos point, box lo corner, box hi
+        # corner (ref prompt_encoder.py:37-39)
+        "point_embeddings": nrm(k3, (4, c)),
+        "not_a_point_embed": nrm(k4, (c,)),
+        # mask downscaling: the reference keeps SAM's 2-D conv stack, which is
+        # dead code on 3-D inputs ("not used at all in SegVol",
+        # prompt_encoder.py:42); here it is a working 3-D equivalent
+        "mask_down": {
+            "conv1_w": nrm(ks[0], (2, 2, 2, 1, mc // 4), std=0.2),
+            "conv1_b": jnp.zeros((mc // 4,), dtype),
+            "ln1": {"scale": jnp.ones((mc // 4,), dtype), "bias": jnp.zeros((mc // 4,), dtype)},
+            "conv2_w": nrm(ks[1], (2, 2, 2, mc // 4, mc), std=0.2),
+            "conv2_b": jnp.zeros((mc,), dtype),
+            "ln2": {"scale": jnp.ones((mc,), dtype), "bias": jnp.zeros((mc,), dtype)},
+            "conv3_w": nrm(ks[2], (1, 1, 1, mc, c), std=0.2),
+            "conv3_b": jnp.zeros((c,), dtype),
+        },
     }
 
 
@@ -62,6 +86,120 @@ def encode_text_prompt(params: dict, text_embedding: jnp.ndarray, grid_shape):
         params["no_mask_embed"].reshape(-1, 1, 1, 1),
         (text_embedding.shape[-1], *grid_shape),
     )
+    return sparse, dense
+
+
+def _pe_with_coords(params, coords, image_size):
+    """Random-Fourier encoding of un-normalized (x, y, z) point coords against
+    an (H, W, D) image size (ref ``forward_with_coords``,
+    ``prompt_encoder.py:191-200``: x/=W, y/=H, z/=D)."""
+    h, w, d = image_size
+    norm = coords / jnp.asarray([w, h, d], coords.dtype)
+    norm = 2 * norm - 1
+    proj = 2 * math.pi * (norm @ params["pe_gaussian"].astype(norm.dtype))
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def encode_point_prompt(
+    params: dict,
+    points: jnp.ndarray,  # (N, 3) un-normalized (x, y, z) coords
+    labels: jnp.ndarray,  # (N,) int: 1 pos, 0 neg, -1 padding
+    image_size: tuple[int, int, int],
+    pad: bool = True,
+) -> jnp.ndarray:
+    """Point prompts -> (N[+1], C) sparse embeddings.
+
+    Matches ``_embed_points`` (``prompt_encoder.py:66-83``): +0.5 pixel-center
+    shift, a padding point appended when no box accompanies the points,
+    label-dependent identity embeddings (padding points drop their PE
+    entirely and use ``not_a_point_embed``).
+    """
+    points = points + 0.5
+    if pad:
+        points = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], 0)
+        labels = jnp.concatenate([labels, jnp.full((1,), -1, labels.dtype)], 0)
+    pe = _pe_with_coords(params, points, image_size)
+    lab = labels[:, None]
+    pe = jnp.where(lab == -1, params["not_a_point_embed"][None], pe)
+    pe = pe + jnp.where(lab == 0, params["point_embeddings"][0][None], 0.0)
+    pe = pe + jnp.where(lab == 1, params["point_embeddings"][1][None], 0.0)
+    return pe
+
+
+def encode_box_prompt(
+    params: dict,
+    boxes: jnp.ndarray,  # (N, 6) un-normalized (x0, y0, z0, x1, y1, z1)
+    image_size: tuple[int, int, int],
+) -> jnp.ndarray:
+    """Box prompts -> (N * 2, C): two PE'd corners with distinct identity
+    embeddings (ref ``_embed_boxes``, ``prompt_encoder.py:85-92``)."""
+    corners = (boxes + 0.5).reshape(-1, 2, 3)
+    pe = _pe_with_coords(params, corners, image_size)
+    pe = pe.at[:, 0, :].add(params["point_embeddings"][2])
+    pe = pe.at[:, 1, :].add(params["point_embeddings"][3])
+    return pe.reshape(-1, pe.shape[-1])
+
+
+def _ln_channels_last(p, x, eps=1e-6):
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def encode_mask_prompt(params: dict, mask: jnp.ndarray) -> jnp.ndarray:
+    """(1, D, H, W) input mask -> dense (C, D/4, H/4, W/4) embedding.
+
+    3-D working equivalent of the reference's (dead-code 2-D) mask
+    downscaling stack: conv(s2) + LN + GELU, twice, then 1x1 projection.
+    """
+    p = params["mask_down"]
+    x = mask[None].transpose(0, 2, 3, 4, 1).astype(p["conv1_w"].dtype)  # NDHWC
+
+    def conv(x, w, b, stride):
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride,) * 3, "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + b
+
+    x = jax.nn.gelu(_ln_channels_last(p["ln1"], conv(x, p["conv1_w"], p["conv1_b"], 2)))
+    x = jax.nn.gelu(_ln_channels_last(p["ln2"], conv(x, p["conv2_w"], p["conv2_b"], 2)))
+    x = conv(x, p["conv3_w"], p["conv3_b"], 1)
+    return x[0].transpose(3, 0, 1, 2)  # (C, d, h, w)
+
+
+def encode_prompts(
+    params: dict,
+    grid_shape: tuple[int, int, int],
+    image_size: tuple[int, int, int],
+    *,
+    points: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    boxes: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    text_embedding: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full prompt-encoder forward (ref ``prompt_encoder.py:123-151``):
+    concatenate point/box/text sparse embeddings in that order; dense is the
+    mask embedding, or the broadcast no-mask embedding."""
+    sparse_parts = []
+    if points is not None:
+        sparse_parts.append(
+            encode_point_prompt(params, *points, image_size, pad=boxes is None)
+        )
+    if boxes is not None:
+        sparse_parts.append(encode_box_prompt(params, boxes, image_size))
+    if text_embedding is not None:
+        sparse_parts.append(text_embedding[None, :])
+    if not sparse_parts:
+        raise ValueError("at least one prompt type is required")
+    sparse = jnp.concatenate(sparse_parts, axis=0)
+    if mask is not None:
+        dense = encode_mask_prompt(params, mask)
+    else:
+        dense = jnp.broadcast_to(
+            params["no_mask_embed"].reshape(-1, 1, 1, 1),
+            (sparse.shape[-1], *grid_shape),
+        )
     return sparse, dense
 
 
@@ -235,19 +373,21 @@ def mask_decoder_forward(
     cfg: SamConfig,
     image_embeddings: jnp.ndarray,  # (C, gd, gh, gw) one sample
     image_pe: jnp.ndarray,  # (C, gd, gh, gw)
-    sparse_prompt: jnp.ndarray,  # (1, C) text prompt token for one target
+    sparse_prompt: jnp.ndarray,  # (N_sp, C) prompt tokens for one target
     dense_prompt: jnp.ndarray,  # (C, gd, gh, gw)
-    text_embedding: jnp.ndarray,  # (C,) for the similarity term
+    text_embedding: jnp.ndarray | None,  # (C,) for the similarity term
     patch_size_z: int,
 ):
     """Predict per-target mask logits; mirrors ``mask_decoder.py:89-149``.
 
+    ``text_embedding=None`` (point/box-prompted segmentation) skips the
+    text-similarity term, as the reference does when no text prompt is given.
     Returns (masks (num_mask_tokens, d', h', w'), mask_tokens_out
     (num_mask_tokens, C)) where d' = gd * z-upsampling, h' = gh*4, w' = gw*4.
     """
     c, gd, gh, gw = image_embeddings.shape
     output_tokens = jnp.concatenate([params["iou_token"], params["mask_tokens"]], axis=0)
-    tokens = jnp.concatenate([output_tokens, sparse_prompt], axis=0)  # (1+K+1, C)
+    tokens = jnp.concatenate([output_tokens, sparse_prompt], axis=0)  # (1+K+N_sp, C)
 
     src = (image_embeddings + dense_prompt).reshape(c, -1).T  # (T, C)
     pe = image_pe.reshape(c, -1).T
@@ -265,7 +405,8 @@ def mask_decoder_forward(
     hyper_inst = _mlp3(params["hyper_instance"], mask_tokens_out[1:])  # (K, C/8)
     hyper_in = jnp.concatenate([hyper_sem, hyper_inst], axis=0)  # (K+1, C/8)
     masks = jnp.einsum("mc,cdhw->mdhw", hyper_in, up)
-    txt = text_embedding @ params["txt_align_w"] + params["txt_align_b"]  # (C/8,)
-    sim = jnp.einsum("c,cdhw->dhw", txt, up)
-    masks = masks + sim[None]
+    if text_embedding is not None:
+        txt = text_embedding @ params["txt_align_w"] + params["txt_align_b"]  # (C/8,)
+        sim = jnp.einsum("c,cdhw->dhw", txt, up)
+        masks = masks + sim[None]
     return masks, mask_tokens_out

@@ -106,6 +106,44 @@ def sam_forward(
     return full, semantic_low
 
 
+def sam_forward_prompted(
+    params: dict,
+    cfg: SamConfig,
+    image: jnp.ndarray,  # (1, C, D, H, W) single sample
+    patch_size: tuple[int, int, int],
+    *,
+    points: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    boxes: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    text_embedding: jnp.ndarray | None = None,
+    upsample_to_image: bool = True,
+    attn_impl: str = "auto",
+):
+    """Interactive segmentation from point/box/mask (and optionally text)
+    prompts — the SegVol prompt modes beyond MMMM's text-only path (ref
+    ``prompt_encoder.py:123-151`` + ``sam.py`` forward). Point coords are
+    un-normalized (x, y, z) against the (H, W, D) input size; boxes are
+    (x0, y0, z0, x1, y1, z1). Returns (mask logits (D, H, W), low-res)."""
+    from .decoder import encode_prompts
+
+    embeds = encoder_forward(params["encoder"], cfg, image, patch_size, attn_impl=attn_impl)
+    grid = embeds.shape[2:]
+    d, h, w = image.shape[2:]
+    sparse, dense = encode_prompts(
+        params["prompt"], grid, (h, w, d),
+        points=points, boxes=boxes, mask=mask, text_embedding=text_embedding,
+    )
+    pe = dense_pe(params["prompt"], grid)
+    masks, _ = mask_decoder_forward(
+        params["decoder"], cfg, embeds[0], pe, sparse, dense,
+        text_embedding, patch_size[0],
+    )
+    low = masks[0]  # semantic mask token
+    if not upsample_to_image:
+        return low, low
+    return trilinear_resize(low[None], image.shape[2:])[0], low
+
+
 def instance_sam_forward(
     params: dict,
     cfg: SamConfig,

@@ -81,6 +81,21 @@ class Processor:
             if data.ndim == 4:
                 data = data[..., 0]
             return reorient_to_dhw(data.astype(np.float32), img.affine)
+        if Path(path).is_dir() or str(path).endswith((".dcm", ".dicom")):
+            # DICOM series directory or single file (ref loads these through
+            # MONAI LoadImage, processors/_base.py:104-180 — e.g. CHAOS)
+            from .dicom import read_dicom_file, read_dicom_series
+
+            if Path(path).is_dir():
+                return read_dicom_series(path)
+            frame, meta = read_dicom_file(path)
+            ps = meta.get("PixelSpacing") or [1.0, 1.0]
+            if frame.ndim == 2:
+                frame = frame[None]
+                spacing = [meta.get("SliceThickness") or 1e6, ps[0], ps[1]]
+            else:
+                spacing = [meta.get("SliceThickness") or 1.0, ps[0], ps[1]]
+            return frame.astype(np.float32), np.asarray(spacing)
         from PIL import Image
 
         arr = np.asarray(Image.open(path).convert("L"), np.float32)

@@ -225,6 +225,14 @@ def import_segvol_sam(
         "pe_gaussian": sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"],
         "no_mask_embed": sd["prompt_encoder.no_mask_embed.weight"].reshape(-1),
     }
+    # point/box prompt identities (Embedding(1, C) each); the reference's 2-D
+    # mask_downscaling stack is dead code on 3-D inputs and is NOT imported —
+    # our 3-D equivalent keeps its fresh init (models/segvol/decoder.py)
+    if "prompt_encoder.point_embeddings.0.weight" in sd:
+        prompt["point_embeddings"] = np.stack(
+            [sd[f"prompt_encoder.point_embeddings.{i}.weight"].reshape(-1) for i in range(4)]
+        )
+        prompt["not_a_point_embed"] = sd["prompt_encoder.not_a_point_embed.weight"].reshape(-1)
 
     md = "mask_decoder."
     # mask tokens: pad pretrained rows to 1 + num_instances
