@@ -49,8 +49,13 @@ def cogvlm_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     return_kv: bool = False,
+    return_logits: bool = True,
 ):
-    """Returns (hidden_states, logits_fp32[, kv]) for a full packed sequence."""
+    """Returns (hidden_states, logits_fp32[, kv]) for a full packed sequence.
+
+    ``return_logits=False`` skips the dense (B, S, V) fp32 projection and
+    returns ``(hidden, None[, kv])`` — the training step computes the LM loss
+    through the fused blockwise CE instead (``ops/fused_ce.py``)."""
     emb = params["llm"]["embed_tokens"][input_ids]
     if image is not None:
         vis = vit_forward(
@@ -69,7 +74,11 @@ def cogvlm_forward(
         return_kv=return_kv,
     )
     hidden = out[0] if return_kv else out
-    logits = jnp.dot(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+    logits = (
+        jnp.dot(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+        if return_logits
+        else None
+    )
     if return_kv:
         return hidden, logits, out[1]
     return hidden, logits

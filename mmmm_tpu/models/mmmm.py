@@ -25,6 +25,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ..ops.fused_ce import fused_weighted_ce_loss
 from .cogvlm import CogVLMConfig, cogvlm_forward, init_cogvlm_params, weighted_ce_loss
 from .segvol import (
     DiceFocalLoss,
@@ -109,7 +110,8 @@ class MMMMModel:
     def init(self, key, dtype=jnp.float32):
         return init_mmmm_params(key, self.cfg, dtype)
 
-    def vlm_forward(self, params, batch, *, attn_impl="auto", remat=False):
+    def vlm_forward(self, params, batch, *, attn_impl="auto", remat=False,
+                    return_logits=True):
         return cogvlm_forward(
             params["cogvlm"],
             self.cfg.vlm,
@@ -122,6 +124,7 @@ class MMMMModel:
             batch.get("pool_size"),
             attn_impl=attn_impl,
             remat=remat,
+            return_logits=return_logits,
         )
 
     def training_step(
@@ -151,8 +154,16 @@ class MMMMModel:
             k: (jnp.asarray(v) if isinstance(v, (list, tuple)) is False and hasattr(v, "ndim") else v)
             for k, v in batch.items()
         }
-        hidden, logits = self.vlm_forward(params, batch, attn_impl=attn_impl, remat=remat)
-        lm_loss = weighted_ce_loss(logits, batch["labels"], batch.get("weight"))
+        # fused blockwise CE: never materializes the (B, S, V) fp32 logits —
+        # at flagship scale that buffer (~2 GB with the log-softmax temp) is
+        # the largest single activation in the step
+        hidden, _ = self.vlm_forward(
+            params, batch, attn_impl=attn_impl, remat=remat, return_logits=False
+        )
+        lm_loss = fused_weighted_ce_loss(
+            hidden, params["cogvlm"]["llm"]["lm_head"],
+            batch["labels"], batch.get("weight"),
+        )
         log = {"lm_loss": lm_loss}
         if vg_mode == "none":
             return cfg.lm_loss_weight * lm_loss, log
