@@ -57,6 +57,32 @@ def iter_report_items(dataset_dir: Path, name: str, limit=None):
                 return
 
 
+def cmd_predict_baseline(args):
+    """Run a registered baseline VLM over the same test items as ``predict``
+    (ref ``scripts/evaluate/models/*``); writes the identical CSV contract."""
+    from baselines import build_baseline
+
+    predict = build_baseline(args.model, args.checkpoint, args.tokenizer)
+    dataset_dir = Path(args.dataset_dir)
+    if args.task == "vqa":
+        items = iter_vqa_items(dataset_dir, args.limit)
+    else:
+        items = iter_report_items(dataset_dir, dataset_dir.name, args.limit)
+    rows = []
+    for item in items:
+        img = dataset_dir / item["image"] if not Path(item["image"]).is_absolute() else Path(item["image"])
+        rows.append({
+            "question": item["question"], "answer": item["answer"],
+            "prediction": predict(str(img), item["question"]),
+        })
+        print(f"[{len(rows)}] {rows[-1]['prediction'][:60]!r}", flush=True)
+    with open(args.output, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["question", "answer", "prediction"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {len(rows)} predictions to {args.output}")
+
+
 def cmd_predict(args):
     from demo import load_model, prepare_image
 
@@ -193,6 +219,16 @@ def main(argv=None):
     p.add_argument("--limit", type=int)
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.set_defaults(func=cmd_predict)
+    b = sub.add_parser("predict-baseline")
+    b.add_argument("--model", required=True,
+                   help="registry name: mmmm|cogvlm|instructblip|llavanext|llavamed|m3d|radfm|r2gengpt")
+    b.add_argument("--checkpoint", required=True, help="local checkpoint dir")
+    b.add_argument("--tokenizer", help="local tokenizer/processor dir (default: checkpoint)")
+    b.add_argument("--task", choices=["vqa", "report"], required=True)
+    b.add_argument("--dataset-dir", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--limit", type=int)
+    b.set_defaults(func=cmd_predict_baseline)
     e = sub.add_parser("evaluate")
     e.add_argument("--task", choices=["vqa", "report"], default="report")
     e.add_argument("--input", required=True)

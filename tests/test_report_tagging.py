@@ -66,3 +66,51 @@ def test_tagger_tags_feed_grg_format():
     tags = TaxonomyTagger(tax).tag(report)
     assert all(set(t) >= {"start", "end", "target"} for t in tags)
     assert tags == sorted(tags, key=lambda t: t["start"])
+
+
+def test_parse_linked_report_roundtrip():
+    from mmmm_tpu.preprocess.tagging import parse_linked_report
+
+    original = "Mild cardiomegaly is present. The lungs are clear."
+    linked = "Mild [cardiomegaly](cardiomegaly) is present. The [lungs](lung) are clear."
+    tags = parse_linked_report(original, linked)
+    assert tags is not None
+    verify_tags(original, tags)
+    assert [t["target"] for t in tags] == ["cardiomegaly", "lung"]
+    # LLM that edited the prose invalidates the parse
+    assert parse_linked_report(original, linked.replace("Mild", "Severe")) is None
+
+
+def test_llm_tagger_two_pass_and_fallback():
+    from mmmm_tpu.data.target_tax import get_target_tax
+    from mmmm_tpu.preprocess.tagging import LLMTagger, TaxonomyTagger
+
+    reports = [
+        "Mild cardiomegaly is present.",
+        "No pleural effusion is seen.",
+    ]
+    calls = []
+
+    def fake_llm(prompts):
+        calls.append(len(prompts))
+        out = []
+        for p in prompts:
+            src = p.rsplit("Report: ", 1)[1].rsplit("\nAnnotated:", 1)[0]
+            if "reviewer" in p:
+                out.append(src)  # filter pass: keep as-is
+            elif "cardiomegaly" in src:
+                out.append(src.replace("cardiomegaly", "[cardiomegaly](cardiomegaly)"))
+            else:
+                out.append("GARBLED " + src)  # breaks round-trip -> fallback
+        return out
+
+    tagger = LLMTagger(
+        fake_llm, ["cardiomegaly", "pleural effusion"],
+        fallback=TaxonomyTagger(get_target_tax()),
+    )
+    tags = tagger.tag_batch(reports)
+    assert len(calls) == 2  # tag pass + filter pass
+    assert tags[0][0]["target"] == "cardiomegaly"
+    verify_tags(reports[0], tags[0])
+    # second report fell back to the taxonomy matcher: negated -> no tags
+    assert tags[1] == []
