@@ -1,4 +1,16 @@
 from .mesh import make_mesh
-from .sharding import param_shardings, batch_shardings, PartitionRules
+from .sharding import param_shardings, batch_shardings, fsdp_shardings, PartitionRules
+from .distributed import init_distributed, process_rank, global_batch
+from .ring_attention import ring_segment_attention
 
-__all__ = ["make_mesh", "param_shardings", "batch_shardings", "PartitionRules"]
+__all__ = [
+    "make_mesh",
+    "param_shardings",
+    "batch_shardings",
+    "fsdp_shardings",
+    "PartitionRules",
+    "init_distributed",
+    "process_rank",
+    "global_batch",
+    "ring_segment_attention",
+]
