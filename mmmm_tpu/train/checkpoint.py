@@ -31,6 +31,15 @@ class CheckpointManager:
         saved = self.manager.save(step, args=ocp.args.StandardSave(state))
         return bool(saved)
 
+    def force_save(self, step: int, state) -> None:
+        """Unconditional save (preemption path), ignoring the step interval.
+
+        No-op when the step is already on disk (orbax's interval policy saves
+        the first step it sees, which would otherwise collide here)."""
+        if step in self.manager.all_steps():
+            return
+        self.manager.save(step, args=ocp.args.StandardSave(state), force=True)
+
     def latest_step(self) -> int | None:
         return self.manager.latest_step()
 

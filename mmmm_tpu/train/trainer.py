@@ -136,11 +136,38 @@ class Trainer:
             rank=rank, world_size=world,
         )
 
+        # preemption safety (SURVEY §5.3; the reference has none): SIGTERM /
+        # SIGINT request a checkpoint at the next step boundary instead of
+        # killing mid-step, so spot/preemptible runs resume exactly
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+            print(f"signal {signum}: checkpointing at next step boundary", flush=True)
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread (tests)
+                pass
+
         step_i = start_step
         t0 = time.time()
         profiling = False
         for batch in batcher(stream):
             if step_i >= cfg.max_steps:
+                break
+            if preempted["flag"]:
+                ckpt.force_save(
+                    step_i,
+                    {"trainable": jax.device_get(state.trainable),
+                     "opt_state": jax.device_get(state.opt_state)},
+                )
+                ckpt.wait()
+                print(f"preemption checkpoint saved at step {step_i}", flush=True)
                 break
             if cfg.profile_start is not None and step_i == cfg.profile_start:
                 jax.profiler.start_trace(str(self.out_dir / "profile"))
@@ -160,5 +187,7 @@ class Trainer:
                 t0 = time.time()
             ckpt.maybe_save(step_i, {"trainable": jax.device_get(state.trainable), "opt_state": jax.device_get(state.opt_state)})
         ckpt.wait()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         save_adapter(self.out_dir / "adapter.npz", jax.device_get(state.trainable))
         return state

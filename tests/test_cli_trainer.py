@@ -95,3 +95,51 @@ def test_override_before_interpolation(tmp_path):
     cfg = apply_overrides(cfg, ["trainer.max_steps=150"])
     cfg = resolve_interpolations(cfg)
     assert cfg["optimizer"]["max_steps"] == 150
+
+
+def test_preemption_checkpoint(tmp_path):
+    """A preemption signal saves a resumable checkpoint at the next step
+    boundary and stops the run (SURVEY §5.3; the reference has none)."""
+    import os
+    import signal
+    import threading
+
+    ds_root = tmp_path / "SegSet"
+    for i in range(4):
+        _make_seg_case(ds_root, f"case{i}", rng=np.random.default_rng(i))
+
+    import cli
+
+    out_dir = tmp_path / "run"
+    # fire SIGTERM only once the first step has logged (the handler installs
+    # at fit() entry; firing during model build would kill the process); the
+    # trainer must convert it into a boundary checkpoint, not die mid-step
+    stop = threading.Event()
+
+    def fire_after_first_step():
+        metrics = out_dir / "metrics.jsonl"
+        while not stop.is_set():
+            if metrics.exists() and metrics.read_text().strip():
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            stop.wait(1.0)
+
+    watcher = threading.Thread(target=fire_after_first_step, daemon=True)
+    watcher.start()
+    try:
+        cli.main([
+            "fit",
+            "-c", str(Path(__file__).parent.parent / "conf/tiny/fit.yaml"),
+            "--no-resume",
+            f"trainer.out_dir={out_dir}",
+            "trainer.max_steps=500",
+            "trainer.ckpt_every=1000",
+            "trainer.log_every=1",
+            f"data.datasets=[{{name: SegSet, type: local, dir: {ds_root}}}]",
+        ])
+    finally:
+        stop.set()
+    # the run stopped early with a checkpoint on disk
+    steps = [int(p.name) for p in (out_dir / "ckpt").iterdir() if p.name.isdigit()]
+    assert steps, "no preemption checkpoint written"
+    assert max(steps) < 500
