@@ -14,7 +14,9 @@ tensor, so the second stage also compiles once per bucket).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +24,76 @@ from ..data.tokenizer import MMMMTokenizer
 from .generate import greedy_generate
 from .mmmm import MMMMConfig, vg_project
 from .segvol import instance_sam_forward, sam_forward
+
+
+@functools.lru_cache(maxsize=8)
+def _generate_stage(
+    cfg: MMMMConfig,
+    max_new_tokens: int,
+    eos_token_id: int,
+    bop_token_id: int,
+    eop_token_id: int,
+    patch_size,
+    pool_size,
+    attn_impl: str,
+    has_image: bool,
+):
+    """Jitted first stage: the full prefill + decode scan.
+
+    ``greedy_generate`` is pure jnp; without a jit wrapper its prefill
+    (ViT + LLM forward, hundreds of primitives) dispatches eagerly — fine on
+    a local chip, ~45 ms per op through the axon relay. Compiles once per
+    (config, generation-params) bucket."""
+
+    def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
+        res = greedy_generate(
+            params["cogvlm"], cfg.vlm, input_ids, token_type_ids, position_ids,
+            prompt_len, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+            bop_token_id=bop_token_id, eop_token_id=eop_token_id,
+            image=image if has_image else None,
+            patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
+        )
+        # plain tuple: GenerateResult is not a registered pytree
+        return res.tokens, res.hidden, res.prefill_hidden, res.num_generated
+
+    jitted = jax.jit(stage)
+
+    def run(params, input_ids, token_type_ids, position_ids, prompt_len, image):
+        from .generate import GenerateResult
+
+        return GenerateResult(*jitted(
+            params, input_ids, token_type_ids, position_ids, prompt_len, image
+        ))
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _grounding_stage(cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str):
+    """Jitted second stage: hidden-state gather -> vg_proj -> SAM head.
+
+    Without this the grounding pass runs eagerly op-by-op — harmless on a
+    local chip, catastrophic through the axon relay (~45 ms per dispatch).
+    Compiles once per (config, patch, mode) bucket; shapes are already
+    static (padded max_targets)."""
+
+    def stage(params, hidden, positions, g_image):
+        gathered = jnp.take_along_axis(
+            hidden.astype(jnp.float32), positions[..., None], axis=1
+        )
+        prompts = vg_project(params, gathered)  # (B, N, prompt_dim)
+        g_image = g_image.astype(jnp.float32)
+        if instance:
+            o = instance_sam_forward(
+                params["isam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
+            )
+            return o.boxes[:, :, 1:], o.disc_logit
+        masks, _ = sam_forward(
+            params["sam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
+        )
+        return masks
+
+    return jax.jit(stage)
 
 
 @dataclasses.dataclass
@@ -52,16 +124,16 @@ def generate_grounded(
     grounding_image: jnp.ndarray | None = None,
     instance: bool = False,
     attn_impl: str = "auto",
+    fetch_grounding: bool = True,
 ) -> GroundedResult:
-    res = greedy_generate(
-        params["cogvlm"], cfg.vlm, input_ids, token_type_ids, position_ids, prompt_len,
-        max_new_tokens=max_new_tokens,
-        eos_token_id=tokenizer.eos_token_id,
-        bop_token_id=tokenizer.bop_token_id,
-        eop_token_id=tokenizer.eop_token_id,
-        image=image, patch_size=patch_size, pool_size=pool_size,
-        attn_impl=attn_impl,
+    gen = _generate_stage(
+        cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
+        tokenizer.eop_token_id,
+        tuple(patch_size) if patch_size is not None else None,
+        tuple(pool_size) if pool_size is not None else None,
+        attn_impl, image is not None,
     )
+    res = gen(params, input_ids, token_type_ids, position_ids, prompt_len, image)
     tokens = np.asarray(res.tokens)
     texts = [
         tokenizer.decode([int(t) for t in row if int(t) != tokenizer.eos_token_id])
@@ -85,15 +157,15 @@ def generate_grounded(
 
     if not valid.any():
         return out
-    hidden = res.hidden.astype(jnp.float32)  # (B, max_new, C), aligned with tokens
-    gathered = jnp.take_along_axis(hidden, jnp.asarray(positions)[..., None], axis=1)
-    prompts = vg_project(params, gathered)  # (B, N, prompt_dim)
-    g_image = grounding_image.astype(jnp.float32)
+    # fetch_grounding=False keeps masks/boxes as device arrays — callers on a
+    # slow host link (the axon relay moves ~10 MB/s) fence with an on-device
+    # reduction instead of shipping (B, N, D, H, W) fp32 masks to host
+    fetch = np.asarray if fetch_grounding else (lambda x: x)
+    stage = _grounding_stage(cfg, tuple(patch_size), instance, attn_impl)
     if instance:
-        o = instance_sam_forward(params["isam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl)
-        out.boxes = np.asarray(o.boxes[:, :, 1:])
-        out.disc_logit = np.asarray(o.disc_logit)
+        boxes, disc = stage(params, res.hidden, jnp.asarray(positions), grounding_image)
+        out.boxes = fetch(boxes)
+        out.disc_logit = fetch(disc)
     else:
-        masks, _ = sam_forward(params["sam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl)
-        out.masks = np.asarray(masks)
+        out.masks = fetch(stage(params, res.hidden, jnp.asarray(positions), grounding_image))
     return out
