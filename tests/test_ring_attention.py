@@ -64,3 +64,15 @@ def test_ring_masked_rows_zero():
     seg = jnp.zeros((q.shape[0], q.shape[1]), jnp.int32)  # everything padding
     out = ring_segment_attention(q, k, v, seg, mesh, "model")
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_debug_consistency_checks():
+    from mmmm_tpu.parallel.debug import assert_replicated_equal, check_batch_uniform
+
+    mesh = _mesh4()
+    import jax.numpy as jnp
+
+    check_batch_uniform({"x": jnp.zeros((8, 3))}, mesh, "model")
+    with pytest.raises(ValueError, match="not divisible"):
+        check_batch_uniform({"x": jnp.zeros((6, 3))}, mesh, "model")
+    assert_replicated_equal({"w": jnp.ones((4, 4))}, mesh, "model")
