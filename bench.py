@@ -122,7 +122,9 @@ def build():
     ).astype(jnp.int32)
     pos = jnp.broadcast_to(pos, (b, s))
     image = jnp.ones((b, 3, 32, 384, 384), jnp.bfloat16)
-    grounding_image = jnp.ones((b, 1, 32, 256, 256), jnp.float32)
+    # SegVol encoder is 3-channel (1-channel pretrain inflated, ref
+    # image_encoder.py:88-94); grounding images replicate the CT channel
+    grounding_image = jnp.ones((b, 3, 32, 256, 256), jnp.float32)
     prompt_len = jnp.full((b,), s, jnp.int32)
 
     def run():
@@ -131,12 +133,14 @@ def build():
             image, (16, 16, 16), (2, 2, 2),
             max_new_tokens=MAX_NEW_TOKENS, max_targets=4,
             grounding_image=grounding_image, fetch_grounding=False,
+            # random weights never emit </p>; force the SAM pass so every
+            # report is actually grounded (the metric's definition)
+            force_grounding=True,
         )
         # fence the mask computation with an on-device scalar reduction: the
         # axon relay fetches at ~10 MB/s, so pulling the full (B, N, D, H, W)
         # masks would time the relay, not the chip
-        if res.masks is not None:
-            np.asarray(jnp.sum(res.masks.astype(jnp.float32)))
+        np.asarray(jnp.sum(res.masks.astype(jnp.float32)))
         return res
 
     flops = _matmul_flops(cfg, b, s, MAX_NEW_TOKENS, N_VIS)

@@ -125,6 +125,7 @@ def generate_grounded(
     instance: bool = False,
     attn_impl: str = "auto",
     fetch_grounding: bool = True,
+    force_grounding: bool = False,
 ) -> GroundedResult:
     gen = _generate_stage(
         cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
@@ -156,7 +157,12 @@ def generate_grounded(
     out.target_valid = valid
 
     if not valid.any():
-        return out
+        if not force_grounding:
+            return out
+        # benchmarking/testing hook: run the mask pass on position-0 hidden
+        # states even when the generation produced no </p> spans
+        valid[:, 0] = True
+        out.target_valid = valid
     # fetch_grounding=False keeps masks/boxes as device arrays — callers on a
     # slow host link (the axon relay moves ~10 MB/s) fence with an on-device
     # reduction instead of shipping (B, N, D, H, W) fp32 masks to host
