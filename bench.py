@@ -92,9 +92,11 @@ def _matmul_flops(cfg, batch, s_prompt, n_new, n_vis):
     vit_per_tok = 8 * vi.hidden_size ** 2 + 4 * vi.hidden_size * vi.intermediate_size
     vit_attn = 4 * t_vit * vi.hidden_size
     vit = vi.num_hidden_layers * t_vit * (vit_per_tok + vit_attn)
-    # dual-expert LLM: both expert matmuls run (masked select), so weight
-    # FLOPs are 2x a dense layer of the same shape
-    llm_per_tok = 2 * (8 * h * h + 6 * h * i)
+    # expert routing is single-matmul everywhere: prefill uses static-span
+    # slicing (each token through exactly one expert) and decode is
+    # statically language-only, so per-token weight FLOPs are a single dense
+    # layer of this shape
+    llm_per_tok = 8 * h * h + 6 * h * i
     prefill_attn = 4 * s_prompt * h  # per token, summed over kv len ~ s/2 avg*2
     prefill = L * s_prompt * (llm_per_tok + prefill_attn)
     s_total = s_prompt + n_new
@@ -136,6 +138,9 @@ def build():
             # random weights never emit </p>; force the SAM pass so every
             # report is actually grounded (the metric's definition)
             force_grounding=True,
+            # single-image layout: vision-typed tokens are exactly [1, 147),
+            # so prefill uses static-span expert routing (half the FLOPs)
+            vis_span=(1, 1 + N_VIS),
         )
         # fence the mask computation with an on-device scalar reduction: the
         # axon relay fetches at ~10 MB/s, so pulling the full (B, N, D, H, W)

@@ -99,6 +99,7 @@ def _decoder_layer(
     attn_impl: str,
     cache=None,  # optional (k_cache, v_cache, cache_index) for decode
     lang_only: bool = False,
+    expert_span: tuple[int, int] | None = None,
 ):
     """One visual-expert decoder layer.
 
@@ -107,6 +108,13 @@ def _decoder_layer(
     if its *successor* is vision-typed, and every generated token is
     language-typed — ``modeling_cogvlm.py:62-64``), so reading the vision
     expert's weights would only burn HBM bandwidth.
+
+    ``expert_span=(lo, hi)`` statically slices the sequence into
+    lang/vis/lang contiguous runs instead of computing both experts' matmuls
+    for every token and selecting — halving prefill expert FLOPs. Only valid
+    when every batch row routes exactly [lo, hi) to the vision expert (the
+    single-image serving layout; callers derive it from the vision-token
+    span with the off-by-one rule).
     """
     b, s, c = x.shape
     h, d = cfg.num_attention_heads, cfg.head_dim
@@ -116,6 +124,27 @@ def _decoder_layer(
             jax.nn.silu(jnp.dot(t, lp["lang_mlp"]["gate"])) * jnp.dot(t, lp["lang_mlp"]["up"]),
             lp["lang_mlp"]["down"],
         )
+    elif expert_span is not None:
+        lo, hi = expert_span
+
+        def dual(t, wv, wl):
+            return jnp.concatenate(
+                [jnp.dot(t[:, :lo], wl), jnp.dot(t[:, lo:hi], wv), jnp.dot(t[:, hi:], wl)],
+                axis=1,
+            )
+
+        def mlp(t):
+            def sw(seg, mp):
+                return jnp.dot(
+                    jax.nn.silu(jnp.dot(seg, mp["gate"])) * jnp.dot(seg, mp["up"]),
+                    mp["down"],
+                )
+
+            return jnp.concatenate(
+                [sw(t[:, :lo], lp["lang_mlp"]), sw(t[:, lo:hi], lp["vis_mlp"]),
+                 sw(t[:, hi:], lp["lang_mlp"])],
+                axis=1,
+            )
     else:
         dual = lambda t, wv, wl: _dual(t, wv, wl, vis_mask)
         mlp = lambda t: _expert_mlp(t, lp["vis_mlp"], lp["lang_mlp"], vis_mask)
@@ -168,14 +197,25 @@ def llm_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     return_kv: bool = False,
+    vis_span: tuple[int, int] | None = None,
 ):
     """Full-sequence forward; returns final hidden states (B, S, C) after norm.
 
     With ``return_kv=True`` additionally returns per-layer rotated keys/values
     stacked as {"k": (L, B, S, H, D), "v": ...} for KV-cache prefill.
+
+    ``vis_span=(lo, hi)`` declares that every row's vision-typed tokens are
+    exactly [lo, hi) (the single-image serving layout): the layers then use
+    static slicing instead of dual masked matmuls — the expert-routing span
+    is [lo, hi-1) per the off-by-one rule (a token uses the vision expert iff
+    it AND its successor are vision-typed, ``modeling_cogvlm.py:62-64``).
     """
     vis_mask = vision_expert_mask(token_type_ids)
     cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
+    expert_span = None
+    if vis_span is not None:
+        lo, hi = vis_span
+        expert_span = (lo, hi - 1)
     layer = partial(
         _decoder_layer,
         cfg=cfg,
@@ -185,6 +225,7 @@ def llm_forward(
         cos=cos,
         sin=sin,
         attn_impl=attn_impl,
+        expert_span=expert_span,
     )
 
     def body(h, lp):

@@ -50,6 +50,7 @@ def greedy_generate(
     patch_size=None,
     pool_size=None,
     attn_impl: str = "auto",
+    vis_span: tuple[int, int] | None = None,
 ) -> GenerateResult:
     b, s_prompt = input_ids.shape
     smax = s_prompt + max_new_tokens
@@ -62,7 +63,7 @@ def greedy_generate(
         emb = splice_vision_embeds(emb, vis)
     hidden, kv = llm_forward(
         params["llm"], cfg, emb, token_type_ids, position_ids, segments,
-        attn_impl=attn_impl, return_kv=True,
+        attn_impl=attn_impl, return_kv=True, vis_span=vis_span,
     )
     l, _, _, h, d = kv["k"].shape
     # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout + an

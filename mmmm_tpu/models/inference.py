@@ -37,6 +37,7 @@ def _generate_stage(
     pool_size,
     attn_impl: str,
     has_image: bool,
+    vis_span: tuple[int, int] | None = None,
 ):
     """Jitted first stage: the full prefill + decode scan.
 
@@ -52,6 +53,7 @@ def _generate_stage(
             bop_token_id=bop_token_id, eop_token_id=eop_token_id,
             image=image if has_image else None,
             patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
+            vis_span=vis_span,
         )
         # plain tuple: GenerateResult is not a registered pytree
         return res.tokens, res.hidden, res.prefill_hidden, res.num_generated
@@ -126,6 +128,7 @@ def generate_grounded(
     attn_impl: str = "auto",
     fetch_grounding: bool = True,
     force_grounding: bool = False,
+    vis_span: tuple[int, int] | None = None,
 ) -> GroundedResult:
     gen = _generate_stage(
         cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
@@ -133,6 +136,7 @@ def generate_grounded(
         tuple(patch_size) if patch_size is not None else None,
         tuple(pool_size) if pool_size is not None else None,
         attn_impl, image is not None,
+        tuple(vis_span) if vis_span is not None else None,
     )
     res = gen(params, input_ids, token_type_ids, position_ids, prompt_len, image)
     tokens = np.asarray(res.tokens)

@@ -152,3 +152,29 @@ def test_decode_matches_full_forward(tiny):
             np.asarray(hidden[:, 0]), np.asarray(full[:, t]), atol=3e-5,
             err_msg=f"decode mismatch at position {t}",
         )
+
+
+def test_vis_span_fast_path_matches_masked():
+    """Static-span expert routing == masked dual matmuls for the single-image
+    layout (vision-typed tokens exactly [lo, hi))."""
+    import numpy as np
+
+    from mmmm_tpu.models.cogvlm.decoder import init_llm_params
+
+    cfg = CogVLMConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+    )
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    b, s, lo, hi = 2, 24, 3, 11  # vision-typed span [3, 11)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(b, s, 64)), jnp.float32)
+    tt = np.zeros((b, s), np.int32)
+    tt[:, lo:hi] = 1
+    tt = jnp.asarray(tt)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s)).astype(jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    ref = llm_forward(params, cfg, emb, tt, pos, seg, attn_impl="xla")
+    fast = llm_forward(params, cfg, emb, tt, pos, seg, attn_impl="xla",
+                       vis_span=(lo, hi))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
