@@ -25,6 +25,7 @@ the baseline file records which definition it belongs to and resets once.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -112,6 +113,14 @@ def build():
     cfg = _bench_cfg()
     model = MMMMModel(cfg)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    quant = os.environ.get("MMMM_BENCH_QUANT") == "1"
+    if quant:
+        # W8A16 serving mode: LLM expert weights + lm_head stream as int8
+        # (decode is HBM-bound, so bytes/weight is the throughput ceiling)
+        from mmmm_tpu.ops.quant import quantize_llm_for_serving
+
+        params = dict(params)
+        params["cogvlm"] = quantize_llm_for_serving(params["cogvlm"])
     tokenizer = _tokenizer()
 
     b, s = BATCH, PROMPT_LEN
@@ -246,6 +255,7 @@ def main():
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,
                 "new_tokens": MAX_NEW_TOKENS,
+                "quantized": os.environ.get("MMMM_BENCH_QUANT") == "1",
             }
         )
     )

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import apply_rope, decode_attention, rms_norm, rope_cos_sin, segment_attention
+from ...ops.quant import qdot
 from ...ops.attention import decode_attention_bhsd
 from ...ops.remat import remat_policy
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
@@ -74,14 +75,14 @@ def init_llm_params(key, cfg: CogVLMConfig, dtype=jnp.float32) -> dict:
 
 def _dual(x, w_vis, w_lang, vis_mask):
     """Dense 2-way expert: both matmuls, per-token select."""
-    out_v = jnp.dot(x, w_vis)
-    out_l = jnp.dot(x, w_lang)
+    out_v = qdot(x, w_vis)
+    out_l = qdot(x, w_lang)
     return jnp.where(vis_mask[..., None], out_v, out_l)
 
 
 def _expert_mlp(x, mp_vis, mp_lang, vis_mask):
     def swiglu(mp):
-        return jnp.dot(jax.nn.silu(jnp.dot(x, mp["gate"])) * jnp.dot(x, mp["up"]), mp["down"])
+        return qdot(jax.nn.silu(qdot(x, mp["gate"])) * qdot(x, mp["up"]), mp["down"])
 
     return jnp.where(vis_mask[..., None], swiglu(mp_vis), swiglu(mp_lang))
 
@@ -119,9 +120,9 @@ def _decoder_layer(
     b, s, c = x.shape
     h, d = cfg.num_attention_heads, cfg.head_dim
     if lang_only:
-        dual = lambda t, wv, wl: jnp.dot(t, wl)
-        mlp = lambda t: jnp.dot(
-            jax.nn.silu(jnp.dot(t, lp["lang_mlp"]["gate"])) * jnp.dot(t, lp["lang_mlp"]["up"]),
+        dual = lambda t, wv, wl: qdot(t, wl)
+        mlp = lambda t: qdot(
+            jax.nn.silu(qdot(t, lp["lang_mlp"]["gate"])) * qdot(t, lp["lang_mlp"]["up"]),
             lp["lang_mlp"]["down"],
         )
     elif expert_span is not None:
@@ -129,14 +130,14 @@ def _decoder_layer(
 
         def dual(t, wv, wl):
             return jnp.concatenate(
-                [jnp.dot(t[:, :lo], wl), jnp.dot(t[:, lo:hi], wv), jnp.dot(t[:, hi:], wl)],
+                [qdot(t[:, :lo], wl), qdot(t[:, lo:hi], wv), qdot(t[:, hi:], wl)],
                 axis=1,
             )
 
         def mlp(t):
             def sw(seg, mp):
-                return jnp.dot(
-                    jax.nn.silu(jnp.dot(seg, mp["gate"])) * jnp.dot(seg, mp["up"]),
+                return qdot(
+                    jax.nn.silu(qdot(seg, mp["gate"])) * qdot(seg, mp["up"]),
                     mp["down"],
                 )
 

@@ -74,8 +74,10 @@ def cogvlm_forward(
         return_kv=return_kv,
     )
     hidden = out[0] if return_kv else out
+    from ...ops.quant import qdot
+
     logits = (
-        jnp.dot(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+        qdot(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
         if return_logits
         else None
     )

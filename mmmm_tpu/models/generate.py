@@ -20,6 +20,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import qdot
 from .cogvlm import CogVLMConfig
 from .cogvlm.decoder import LANGUAGE_TOKEN_TYPE, llm_decode_step, llm_forward, vision_expert_mask
 from .cogvlm.model import splice_vision_embeds
@@ -82,7 +83,7 @@ def greedy_generate(
     last_idx = prompt_len - 1  # (B,)
     take = lambda arr: jnp.take_along_axis(arr, last_idx[:, None, None], axis=1)[:, 0] if arr.ndim == 3 else jnp.take_along_axis(arr, last_idx[:, None], axis=1)[:, 0]
     last_hidden = take(hidden)  # (B, C)
-    logits0 = jnp.dot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+    logits0 = qdot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
     tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)  # first generated token
     last_tok = take(input_ids)  # token that generated tok0
     last_pos = take(position_ids)
@@ -107,7 +108,7 @@ def greedy_generate(
             state["write"], state["write"] + 1, attn_impl=attn_impl,
         )
         hidden_t = hidden_t[:, 0]  # (B, C)
-        logits = jnp.dot(hidden_t, params["llm"]["lm_head"]).astype(jnp.float32)
+        logits = qdot(hidden_t, params["llm"]["lm_head"]).astype(jnp.float32)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(state["done"], eos_token_id, next_tok)
         out = {"token": state["tok"], "hidden": hidden_t, "done": state["done"]}
