@@ -1,7 +1,9 @@
 """Benchmark: grounded-report generation throughput on one TPU chip.
 
 Measures the north-star metric (BASELINE.md): grounded reports/sec/chip for
-the FULL serving path on a 7B-class flagship configuration in bf16 —
+the FULL serving path on a 7B-class flagship configuration — W8A16 serving
+(int8 expert weights + lm_head, the production-serving default; set
+MMMM_BENCH_QUANT=0 for the exact-bf16 parity path) —
 
   multimodal prefill (EVA ViT over a (32, 384, 384) CT + 144+2 vision tokens)
   -> greedy decode of 128 report tokens (dual-expert CogVLM, real 32k vocab)
@@ -36,7 +38,7 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = 128
-BATCH = 4
+BATCH = 16
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
@@ -113,7 +115,7 @@ def build():
     cfg = _bench_cfg()
     model = MMMMModel(cfg)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    quant = os.environ.get("MMMM_BENCH_QUANT") == "1"
+    quant = os.environ.get("MMMM_BENCH_QUANT", "1") != "0"
     if quant:
         # W8A16 serving mode: LLM expert weights + lm_head stream as int8
         # (decode is HBM-bound, so bytes/weight is the throughput ceiling)
@@ -255,7 +257,7 @@ def main():
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,
                 "new_tokens": MAX_NEW_TOKENS,
-                "quantized": os.environ.get("MMMM_BENCH_QUANT") == "1",
+                "quantized": os.environ.get("MMMM_BENCH_QUANT", "1") != "0",
             }
         )
     )
