@@ -122,7 +122,35 @@ class Processor:
                 (self.output_dir / f"{case.key}.error.log").parent.mkdir(parents=True, exist_ok=True)
                 (self.output_dir / f"{case.key}.error.log").write_text(traceback.format_exc())
         self._write_info(info)
+        self._write_split(info)
         return info
+
+    def _write_split(self, info: list[dict], val_frac: float = 0.05,
+                     test_frac: float = 0.05):
+        """``split.json`` for the data loader (ref ``_base.py:298-303``:
+        processors emit per-dataset splits; datasets with official splits
+        override ``get_split``). Default: deterministic hash split by key, so
+        re-processing never reshuffles cases between splits."""
+        import hashlib
+
+        split = self.get_split()
+        if split is None:
+            split = {"train": [], "validate": [], "test": []}
+            ok = [r["key"] for r in info if r.get("status") in ("ok", "exists")]
+            for key in ok:
+                h = int(hashlib.sha1(f"{self.name}/{key}".encode()).hexdigest(), 16)
+                u = (h % 10_000) / 10_000
+                if u < test_frac:
+                    split["test"].append(key)
+                elif u < test_frac + val_frac:
+                    split["validate"].append(key)
+                else:
+                    split["train"].append(key)
+        (self.output_dir / "split.json").write_text(json.dumps(split, indent=1))
+
+    def get_split(self) -> dict[str, list[str]] | None:
+        """Override to supply a dataset's official split; None = hash split."""
+        return None
 
     def process_case(self, case: CaseSpec) -> dict:
         conf = self.conf

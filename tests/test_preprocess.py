@@ -95,3 +95,40 @@ def test_nnunet_processor_end_to_end(tmp_path):
     items = get_local_data_list(out_root / "Task_Demo")
     dp = tf(items[0])
     assert dp["image"].shape[0] == 3
+
+
+def test_processor_writes_deterministic_split(tmp_path):
+    """split.json emitted per dataset (ref _base.py:298-303), hash-stable so
+    re-processing never reshuffles cases across splits."""
+    import json as _json
+
+    from mmmm_tpu.preprocess.registry import build_processor
+    from mmmm_tpu.preprocess.processor import ProcessorConfig
+
+    src = tmp_path / "raw"
+    (src / "imagesTr").mkdir(parents=True)
+    (src / "labelsTr").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        vol = rng.normal(100, 20, size=(16, 16, 8)).astype(np.float32)
+        seg = np.zeros((16, 16, 8), np.int16)
+        seg[2:8, 2:8, 2:5] = 1
+        affine = np.diag([1.0, 1.0, 4.0, 1.0])
+        write_nifti(src / "imagesTr" / f"c{i}_0000.nii.gz", vol, affine)
+        write_nifti(src / "labelsTr" / f"c{i}.nii.gz", seg, affine)
+    (src / "dataset.json").write_text(_json.dumps({"labels": {"0": "background", "1": "spleen"}}))
+
+    proc = build_processor("MSD-Task09-Spleen", src, tmp_path / "out",
+                           ProcessorConfig(max_smaller_edge=64))
+    proc.process()
+    split_path = tmp_path / "out/MSD-Task09-Spleen/split.json"
+    split = _json.loads(split_path.read_text())
+    assert set(split) == {"train", "validate", "test"}
+    all_keys = sorted(split["train"] + split["validate"] + split["test"])
+    assert all_keys == [f"c{i}" for i in range(6)]
+    # determinism: reprocessing (cases now 'exists') produces the same split
+    first = split
+    proc2 = build_processor("MSD-Task09-Spleen", src, tmp_path / "out",
+                            ProcessorConfig(max_smaller_edge=64))
+    proc2.process()
+    assert _json.loads(split_path.read_text()) == first
