@@ -62,8 +62,12 @@ def build_dataset(cfg: dict, tokenizer, conf_dir: Path):
     return MultiDataset(dconf, specs, tokenizer, target_tax=target_tax)
 
 
-def load_model_with_adapter(config_path: str, adapter: str | None):
-    """Config (+ optional adapter.npz) -> (model, merged jnp params, tokenizer, cfg)."""
+def load_model_with_adapter(config_path: str, adapter: str | None,
+                            quantize: bool = False):
+    """Config (+ optional adapter.npz) -> (model, merged jnp params, tokenizer,
+    cfg). ``quantize=True`` applies W8A16 int8 serving quantization to the LLM
+    after LoRA merge (``ops/quant.py``) — ~2x decode on one chip; use the
+    exact bf16 path for parity checks."""
     import jax
     import jax.numpy as jnp
 
@@ -83,4 +87,9 @@ def load_model_with_adapter(config_path: str, adapter: str | None):
         lora_cfg = build(LoraConfig, cfg.get("lora") or {})
         params = lora_merge(params, trainable["lora"], lora_cfg)
         params = jax.tree.map(jnp.asarray, params)
+    if quantize:
+        from .ops.quant import quantize_llm_for_serving
+
+        params = dict(params)
+        params["cogvlm"] = quantize_llm_for_serving(params["cogvlm"])
     return model, params, tokenizer, cfg

@@ -25,10 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_model(config_path: str, adapter: str | None):
+def load_model(config_path: str, adapter: str | None, quantize: bool = False):
     from mmmm_tpu.build import load_model_with_adapter
 
-    return load_model_with_adapter(config_path, adapter)
+    return load_model_with_adapter(config_path, adapter, quantize=quantize)
 
 
 def prepare_image(path: str | None, conf):
@@ -50,6 +50,10 @@ def main(argv=None):
     parser.add_argument("--grounding", action="store_true", default=True)
     parser.add_argument("--instance", action="store_true")
     parser.add_argument(
+        "--quantize", action="store_true",
+        help="W8A16 int8 serving quantization of the LLM (~2x decode)",
+    )
+    parser.add_argument(
         "--interactive", action="store_true",
         help="multi-turn conversation: read follow-up questions from stdin "
              "(the reference demo's history loop, scripts/demo.py:22-76)",
@@ -60,7 +64,7 @@ def main(argv=None):
     from mmmm_tpu.data.input_builder import prepare_vlm_inputs
     from mmmm_tpu.models.inference import generate_grounded
 
-    model, params, tokenizer, cfg = load_model(args.config, args.adapter)
+    model, params, tokenizer, cfg = load_model(args.config, args.adapter, quantize=args.quantize)
     dconf_dict = (cfg.get("data") or {}).get("conf") or {}
     from mmmm_tpu.config import build
     from mmmm_tpu.data.local import DatasetConf

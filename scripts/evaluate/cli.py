@@ -92,7 +92,7 @@ def cmd_predict(args):
     from mmmm_tpu.data.local import DatasetConf
     from mmmm_tpu.models.inference import generate_grounded
 
-    model, params, tokenizer, cfg = load_model(args.config, args.adapter)
+    model, params, tokenizer, cfg = load_model(args.config, args.adapter, quantize=getattr(args, 'quantize', False))
     dconf = build(DatasetConf, (cfg.get("data") or {}).get("conf") or {})
     dataset_dir = Path(args.dataset_dir)
     if args.task == "vqa":
@@ -213,6 +213,7 @@ def main(argv=None):
     p = sub.add_parser("predict")
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--adapter")
+    p.add_argument("--quantize", action="store_true", help="W8A16 int8 serving")
     p.add_argument("--task", choices=["vqa", "report"], required=True)
     p.add_argument("--dataset-dir", required=True)
     p.add_argument("--output", required=True)
