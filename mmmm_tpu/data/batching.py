@@ -29,6 +29,18 @@ def seq_bucket(length: int, quant: int = 128, max_len: int | None = None) -> int
 
 
 def bucket_key(dp: dict, seq_quant: int = 128, max_seq_len: int | None = None):
+    if dp.get("plan"):
+        # metadata-only plan (transform ``plan_only=True``): same key, no pixels
+        mode = "none"
+        if dp["grounding"] and dp["labels_present"]:
+            mode = "instance" if dp["instance"] else "semantic"
+        return (
+            tuple(dp["image_shape"]),
+            dp["patch_size"],
+            dp["pool_size"],
+            mode,
+            seq_bucket(dp["seq_len"], seq_quant, max_seq_len),
+        )
     mode = "none"
     if dp.get("grounding") and dp["vlm_inputs"].labels is not None:
         mode = "instance" if dp.get("instance") else "semantic"
@@ -143,9 +155,7 @@ class BucketBatcher:
         self.max_open = max_open
         self.drop_partial = drop_partial
 
-    def _emit(self, key, points) -> dict:
-        if len(points) < self.batch_size:
-            points = points + [points[-1]] * (self.batch_size - len(points))
+    def collate_batch(self, key, points) -> dict:
         return collate(
             points,
             eop_token_id=self.eop_token_id,
@@ -155,19 +165,61 @@ class BucketBatcher:
             vg_mode=key[3],
         ) | {"vg_mode": key[3]}
 
-    def __call__(self, stream: Iterable[dict]) -> Iterator[dict]:
+    def batches(self, stream: Iterable[dict]) -> Iterator[tuple[tuple, list]]:
+        """Group the stream into (bucket key, points) batches (uncollated).
+
+        Works over full data points OR metadata-only plans — both carry the
+        same bucket key; partial flushes pad by repeating the last element so
+        shapes stay static."""
+
+        def pad(points):
+            return points + [points[-1]] * (self.batch_size - len(points))
+
         open_buckets: dict = {}
         for dp in stream:
             key = bucket_key(dp, self.seq_quant, self.max_seq_len)
             open_buckets.setdefault(key, []).append(dp)
             if len(open_buckets[key]) == self.batch_size:
-                yield self._emit(key, open_buckets.pop(key))
+                yield key, open_buckets.pop(key)
             elif len(open_buckets) > self.max_open:
                 flush_key = max(open_buckets, key=lambda k: len(open_buckets[k]))
                 if not self.drop_partial:
-                    yield self._emit(flush_key, open_buckets.pop(flush_key))
+                    yield flush_key, pad(open_buckets.pop(flush_key))
                 else:
                     open_buckets.pop(flush_key)
         for key, points in open_buckets.items():
             if not self.drop_partial:
-                yield self._emit(key, points)
+                yield key, pad(points)
+
+    def __call__(self, stream: Iterable[dict]) -> Iterator[dict]:
+        for key, points in self.batches(stream):
+            yield self.collate_batch(key, points)
+
+
+def scheduled_batches(
+    dataset,
+    batcher: BucketBatcher,
+    num_samples: int,
+    *,
+    seed: int = 42,
+    rank: int = 0,
+    world_size: int = 1,
+) -> Iterator[dict]:
+    """Host-invariant batch schedule for multi-controller SPMD.
+
+    Every process runs the SAME global sampler + batcher over metadata-only
+    plans (``transform(plan_only=True)`` — no pixel IO), so all ranks agree on
+    the exact (bucket shape, mode) sequence of jitted steps. Each rank then
+    materializes only its contiguous ``1/world_size`` slice of every batch
+    (matching ``make_array_from_process_local_data`` row ownership) and
+    collates it locally with the bucket's static shapes.
+
+    This removes the reference's DDP desync hazard class (dummy forwards,
+    ``mmmm/models/mmmm.py:263-278``) by construction instead of by patching.
+    """
+    assert batcher.batch_size % world_size == 0, (batcher.batch_size, world_size)
+    local = batcher.batch_size // world_size
+    for key, plans in batcher.batches(dataset.plan_stream(num_samples, seed=seed)):
+        sel = plans[rank * local : (rank + 1) * local]
+        points = [dataset.materialize(p) for p in sel]
+        yield batcher.collate_batch(key, points)

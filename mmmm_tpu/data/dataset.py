@@ -14,7 +14,7 @@ from typing import Iterator
 from .defs import Split
 from .grg import GRGTransform, get_grg_data_list
 from .local import DatasetConf, LocalTransform, get_local_data_list
-from .sampling import DatasetSpec as SamplerSpec, WeightedMultiDatasetSampler
+from .sampling import DatasetSpec as SamplerSpec, WeightedMultiDatasetSampler, sample_rng
 from .tokenizer import MMMMTokenizer
 from .vl import VLTransform, get_vl_data_list
 
@@ -73,9 +73,45 @@ class MultiDataset:
     def sizes(self) -> list[int]:
         return [len(dl) for dl in self.data_lists]
 
-    def get(self, dataset_idx: int, sub_idx: int) -> dict:
+    def get(self, dataset_idx: int, sub_idx: int, rng=None) -> dict:
         spec = self.specs[dataset_idx]
-        return self.transforms[spec.type](self.data_lists[dataset_idx][sub_idx])
+        return self.transforms[spec.type](self.data_lists[dataset_idx][sub_idx], rng=rng)
+
+    def plan(self, dataset_idx: int, sub_idx: int, rng) -> dict:
+        """Metadata-only transform pass: bucket key without pixel IO."""
+        spec = self.specs[dataset_idx]
+        return self.transforms[spec.type](
+            self.data_lists[dataset_idx][sub_idx], rng=rng, plan_only=True
+        )
+
+    def plan_stream(self, num_samples: int, seed: int = 42) -> Iterator[dict]:
+        """The GLOBAL (unsharded) plan stream — identical on every process.
+
+        Each plan carries a ``ref`` = (dataset_idx, sub_idx, stream position)
+        from which any rank can materialize the sample bit-identically via
+        the per-sample RNG (``sampling.sample_rng``)."""
+        sampler = WeightedMultiDatasetSampler(
+            [SamplerSpec(s.name, s.weight) for s in self.specs],
+            self.sizes(),
+            num_samples,
+            seed=seed,
+        )
+        for pos, (ds, sub) in enumerate(sampler):
+            plan = self.plan(ds, sub, sample_rng(seed, pos))
+            plan["ref"] = (ds, sub, pos, seed)
+            yield plan
+
+    def materialize(self, plan: dict) -> dict:
+        ds, sub, pos, seed = plan["ref"]
+        dp = self.get(ds, sub, rng=sample_rng(seed, pos))
+        expected = tuple(plan["image_shape"])
+        got = (dp["image"].shape, len(dp["vlm_inputs"].input_ids), dp["grounding"], dp["instance"])
+        want = (expected, plan["seq_len"], plan["grounding"], plan["instance"])
+        assert got == want, (
+            f"plan/materialize divergence for {plan['src']}: planned "
+            f"(shape, seq, grounding, instance)={want}, materialized {got}"
+        )
+        return dp
 
     def stream(
         self, num_samples: int, seed: int = 42, rank: int = 0, world_size: int = 1

@@ -26,6 +26,7 @@ from .tokenizer import MMMMTokenizer
 from .transforms import (
     corners_to_center_size,
     divisible_pad,
+    divisible_pad_shape,
     ensure_rgb,
     get_max_resize,
     get_patch_size_z,
@@ -90,16 +91,18 @@ class GRGTransform:
         self.inference = inference
         self.R = np.random.RandomState(seed)
 
-    def _reduce(self, mask: np.ndarray, max_num: int):
+    def _reduce(self, mask: np.ndarray, max_num: int, R=None):
+        R = R if R is not None else self.R
         if mask.sum() <= max_num:
             return mask
         on = np.nonzero(mask)[0]
-        off = self.R.choice(on, int(mask.sum()) - max_num, replace=False)
+        off = R.choice(on, int(mask.sum()) - max_num, replace=False)
         mask[off] = False
         return mask
 
-    def __call__(self, data: dict) -> dict:
-        conf, tc, R = self.conf, self.tc, self.R
+    def __call__(self, data: dict, rng: np.random.RandomState | None = None, plan_only: bool = False) -> dict:
+        conf, tc = self.conf, self.tc
+        R = rng if rng is not None else self.R
         dataset = data["dataset"]
         base_dir = Path(data["dataset_dir"])
         candidates = np.arange(len(data["image"]))
@@ -111,12 +114,19 @@ class GRGTransform:
         key = data.get("key", Path(str(image_rel)).name.split(".")[0])
         image_path = base_dir / image_rel
 
-        image_u8 = load_image_any(image_path)
-        if tc.equalize:
-            image_u8 = equalize_uint8(image_u8)
-        image = image_u8.astype(np.float32) / 255.0
+        if plan_only:
+            from .vl import probe_image_shape
 
-        size_z = image.shape[1]
+            image = None
+            c_in, *spatial_in = probe_image_shape(image_path, data, idx)
+        else:
+            image_u8 = load_image_any(image_path)
+            if tc.equalize:
+                image_u8 = equalize_uint8(image_u8)
+            image = image_u8.astype(np.float32) / 255.0
+            c_in, spatial_in = image.shape[0], image.shape[1:]
+
+        size_z = spatial_in[0]
         patch_size_z, pool_size_z, stride_z, tokens_z = get_patch_size_z(
             conf.base_vit_patch_size_z, conf.base_pool_size_z, size_z,
             tc.max_tokens_z, tc.log2_patch_size_z_std, R,
@@ -124,7 +134,7 @@ class GRGTransform:
         stride = (stride_z, conf.stride_xy, conf.stride_xy)
         resize = (
             min(size_z, tokens_z * stride_z),
-            *get_max_resize(image.shape[2:], conf.stride_xy, tc.max_tokens // tokens_z),
+            *get_max_resize(spatial_in[1:], conf.stride_xy, tc.max_tokens // tokens_z),
         )
 
         # --- labels -------------------------------------------------------
@@ -148,7 +158,7 @@ class GRGTransform:
                 for i, tag in enumerate(tags):
                     if tag["target"] in target_boxes:
                         vg_label_mask[i] = True
-                vg_label_mask = self._reduce(vg_label_mask, tc.max_num_vg_box)
+                vg_label_mask = self._reduce(vg_label_mask, tc.max_num_vg_box, R)
                 boxes_list, index_offsets_list, off = [], [], 0
                 for i, tag in enumerate(tags):
                     if not vg_label_mask[i]:
@@ -162,40 +172,43 @@ class GRGTransform:
                     index_offsets = np.asarray(index_offsets_list, np.int64)
         elif grounding and seg_meta_path.exists():
             targets = json.loads(seg_meta_path.read_text())
-            ref_masks = load_pt_zst(base_dir / f"{key}_seg.pt.zst")
+            ref_masks = None if plan_only else load_pt_zst(base_dir / f"{key}_seg.pt.zst")
             t2i = {t: i for i, t in enumerate(targets)}
             for i, tag in enumerate(tags):
                 if tag["target"] in t2i:
                     vg_label_mask[i] = True
-            vg_label_mask = self._reduce(vg_label_mask, tc.max_num_vg_mask)
-            rows = [ref_masks[t2i[tag["target"]]] for i, tag in enumerate(tags) if vg_label_mask[i]]
-            if rows:
-                masks = np.stack(rows).astype(np.float32)
+            vg_label_mask = self._reduce(vg_label_mask, tc.max_num_vg_mask, R)
+            if not plan_only:
+                rows = [ref_masks[t2i[tag["target"]]] for i, tag in enumerate(tags) if vg_label_mask[i]]
+                if rows:
+                    masks = np.stack(rows).astype(np.float32)
 
         # --- spatial ------------------------------------------------------
-        orig_spatial = image.shape[1:]
-        image = resize_3d(image, resize)
-        if masks is not None:
-            masks = resize_3d(masks, resize)
-        if boxes is not None:
-            boxes = scale_boxes(boxes, orig_spatial, resize)
-        image, pad_before = divisible_pad(image, stride)
-        if masks is not None:
-            masks, _ = divisible_pad(masks, stride)
-        if boxes is not None:
-            boxes = shift_boxes(boxes, pad_before)
-        tokens = tuple(s // st for s, st in zip(image.shape[1:], stride))
+        padded = divisible_pad_shape(resize, stride)
+        tokens = tuple(s // st for s, st in zip(padded, stride))
         qgrid = tuple(int(-(-t // q) * q) for t, q in zip(tokens, tc.grid_quant))
         target_shape = tuple(g * st for g, st in zip(qgrid, stride))
-        extra = [(0, t - s) for t, s in zip(target_shape, image.shape[1:])]
-        image = np.pad(image, [(0, 0), *extra])
-        if masks is not None:
-            masks = np.pad(masks, [(0, 0), *extra])
-        if boxes is not None:
-            boxes = corners_to_center_size(boxes, image.shape[1:])
-        image = ensure_rgb(image)
-        grounding_image = image
-        image = intensity_norm(image)
+        if not plan_only:
+            orig_spatial = image.shape[1:]
+            image = resize_3d(image, resize)
+            if masks is not None:
+                masks = resize_3d(masks, resize)
+            if boxes is not None:
+                boxes = scale_boxes(boxes, orig_spatial, resize)
+            image, pad_before = divisible_pad(image, stride)
+            if masks is not None:
+                masks, _ = divisible_pad(masks, stride)
+            if boxes is not None:
+                boxes = shift_boxes(boxes, pad_before)
+            extra = [(0, t - s) for t, s in zip(target_shape, image.shape[1:])]
+            image = np.pad(image, [(0, 0), *extra])
+            if masks is not None:
+                masks = np.pad(masks, [(0, 0), *extra])
+            if boxes is not None:
+                boxes = corners_to_center_size(boxes, image.shape[1:])
+            image = ensure_rgb(image)
+            grounding_image = image
+            image = intensity_norm(image)
 
         # --- conversation: tag-injected report ----------------------------
         report: str = data["ref_report"]
@@ -209,7 +222,7 @@ class GRGTransform:
                 last = end
             report = "".join([*pieces, report[last:]])
         conversation = [ConvTurn(R.choice(REPORT_PROMPTS).format(R.choice(REFERRINGS)), report)]
-        num_image_tokens = int(np.prod([s // st for s, st in zip(image.shape[1:], stride)]))
+        num_image_tokens = int(np.prod(qgrid))
         vlm_inputs, text = prepare_vlm_inputs(
             conversation, self.tokenizer, num_image_tokens,
             inference=self.inference, grounding=grounding,
@@ -220,6 +233,18 @@ class GRGTransform:
         num_prompts = int((vlm_inputs.input_ids[1:] == self.tokenizer.eop_token_id).sum())
         vg_label_mask = vg_label_mask[:num_prompts]
         num_targets = int(vg_label_mask.sum())
+        if plan_only:
+            return {
+                "plan": True,
+                "src": (dataset, str(image_path)),
+                "image_shape": (3 if c_in == 1 else c_in, *target_shape),
+                "patch_size": (patch_size_z, conf.vit_patch_size_xy, conf.vit_patch_size_xy),
+                "pool_size": (pool_size_z, conf.pool_size_xy, conf.pool_size_xy),
+                "grounding": grounding and num_targets > 0,
+                "instance": instance,
+                "labels_present": not self.inference,
+                "seq_len": len(vlm_inputs.input_ids),
+            }
         if masks is not None:
             masks = masks[:num_targets] if num_targets else None
         if boxes is not None and index_offsets is not None:

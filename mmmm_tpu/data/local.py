@@ -34,12 +34,14 @@ from .tokenizer import MMMMTokenizer
 from .transforms import (
     corners_to_center_size,
     divisible_pad,
+    divisible_pad_shape,
     ensure_rgb,
     get_max_resize,
     get_patch_size_z,
     intensity_norm,
     rand_flips_rot90,
     resize_3d,
+    sample_flips_rot90,
     scale_boxes,
     shift_boxes,
 )
@@ -116,26 +118,39 @@ class LocalTransform:
         self.target_tax = target_tax if target_tax is not None else get_target_tax()
         self.R = np.random.RandomState(seed)
 
-    def _sample_targets(self, names, limit: int, category: str) -> list[str]:
+    def _sample_targets(self, names, limit: int, category: str, R=None) -> list[str]:
+        R = R if R is not None else self.R
         names = [n for n in names if (t := self.target_tax.get(n)) and t.category == category]
         if len(names) > limit:
-            names = self.R.choice(names, limit, replace=False).tolist()
+            names = R.choice(names, limit, replace=False).tolist()
         return names
 
-    def __call__(self, data: dict) -> dict:
-        conf, tc, R = self.conf, self.conf.local_trans, self.R
+    def __call__(self, data: dict, rng: np.random.RandomState | None = None, plan_only: bool = False) -> dict:
+        """Transform one sample; with ``plan_only`` skip all pixel IO/math and
+        return only the bucket-determining metadata (host-invariant schedule).
+
+        The plan path consumes the RNG identically to materialization, so a
+        per-sample ``rng`` (``sampling.sample_rng``) makes plan and full
+        results agree on every decision."""
+        conf, tc = self.conf, self.conf.local_trans
+        R = rng if rng is not None else self.R
         dataset_name = data["dataset"]
         case_dir = Path(data["dataset_dir"]) / "data" / data["key"]
         sparse = Sparse.from_json((case_dir / "sparse.json").read_bytes())
-        images = load_pt_zst(case_dir / "images.pt.zst")  # (M, D, H, W) uint8
         if len(sparse.modalities) == 1:
             modality, mslice = sparse.modalities[0], slice(None)
         else:
             mi = R.randint(len(sparse.modalities))
             modality, mslice = sparse.modalities[mi], slice(mi, mi + 1)
-        image = images[mslice].astype(np.float32) / 255.0
         mask_path = case_dir / "masks.pt.zst"
-        masks_all = load_pt_zst(mask_path) if mask_path.exists() else None
+        if plan_only:
+            image = masks_all = None
+            spatial_in = tuple(int(s) for s in np.asarray(sparse.shape))
+        else:
+            images = load_pt_zst(case_dir / "images.pt.zst")  # (M, D, H, W) uint8
+            image = images[mslice].astype(np.float32) / 255.0
+            masks_all = load_pt_zst(mask_path) if mask_path.exists() else None
+            spatial_in = image.shape[1:]
 
         targets = {t.name: t for ts in sparse.targets.values() for t in ts}
         neg_targets = [n for ns in sparse.neg_targets.values() for n in ns]
@@ -145,15 +160,15 @@ class LocalTransform:
         neg_grounding = toss(R, tc.neg_grounding_prob) if grounding else False
         conv, grounded = [], []
         c1, g1 = gen_general_conv(
-            self._sample_targets(targets, tc.num_pos, ANATOMY),
-            self._sample_targets(neg_targets, tc.num_neg, ANATOMY),
+            self._sample_targets(targets, tc.num_pos, ANATOMY, R),
+            self._sample_targets(neg_targets, tc.num_neg, ANATOMY, R),
             grounding, neg_grounding, self.tokenizer, self.target_tax, R,
         )
         conv += c1
         grounded += g1
         c2, g2 = gen_anomaly_conv(
-            self._sample_targets(targets, tc.num_pos, ANOMALY),
-            self._sample_targets(neg_targets, tc.num_neg, ANOMALY),
+            self._sample_targets(targets, tc.num_pos, ANOMALY, R),
+            self._sample_targets(neg_targets, tc.num_neg, ANOMALY, R),
             grounding, neg_grounding, self.tokenizer, self.target_tax, dataset_name, R,
         )
         conv += c2
@@ -163,19 +178,46 @@ class LocalTransform:
             conv = gen_modality_conv(modality, R) + conv
 
         # geometry: z patch + in-plane resize to token budget
-        size_z = image.shape[1]
+        size_z = spatial_in[0]
         patch_size_z, pool_size_z, stride_z, tokens_z = get_patch_size_z(
             conf.base_vit_patch_size_z, conf.base_pool_size_z, size_z, tc.max_tokens_z,
             tc.log2_patch_size_z_std, R,
         )
-        resize_hw = get_max_resize(image.shape[2:], conf.stride_xy, tc.max_vision_tokens // tokens_z)
+        resize_hw = get_max_resize(spatial_in[1:], conf.stride_xy, tc.max_vision_tokens // tokens_z)
         resize = (min(size_z, tokens_z * stride_z), *resize_hw)
         stride = (stride_z, conf.stride_xy, conf.stride_xy)
         patch_size = (patch_size_z, conf.vit_patch_size_xy, conf.vit_patch_size_xy)
         pool_size = (pool_size_z, conf.pool_size_xy, conf.pool_size_xy)
 
+        instance = not mask_path.exists()
+        if plan_only:
+            # shape-only simulation of resize -> pad -> flip/rot90 -> grid pad
+            flips_k = sample_flips_rot90(R) if not self.inference else (None, 0)
+            shape = divisible_pad_shape(resize, stride)
+            if flips_k[1] % 2:
+                shape = (shape[0], shape[2], shape[1])
+            tokens = tuple(s // st for s, st in zip(shape, stride))
+            qgrid = quantize_grid(tokens, tc.grid_quant)
+            final_spatial = tuple(g * st for g, st in zip(qgrid, stride))
+            num_image_tokens = int(np.prod(qgrid))
+            vlm_inputs, _ = prepare_vlm_inputs(
+                conv, self.tokenizer, num_image_tokens,
+                inference=self.inference, grounding=grounding,
+                max_seq_len=conf.max_seq_len, bop_weight=conf.bop_weight,
+            )
+            return {
+                "plan": True,
+                "src": (dataset_name, data["key"]),
+                "image_shape": (3, *final_spatial),
+                "patch_size": patch_size,
+                "pool_size": pool_size,
+                "grounding": grounding,
+                "instance": instance,
+                "labels_present": not self.inference,
+                "seq_len": len(vlm_inputs.input_ids),
+            }
+
         # labels for grounded classes
-        instance = masks_all is None
         if instance:
             boxes_list, index_offsets = [], np.zeros((len(grounded), 2), np.int64)
             off = 0

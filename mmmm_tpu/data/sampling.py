@@ -65,6 +65,18 @@ class WeightedMultiDatasetSampler:
                 yield int(ds), sub
 
 
+def sample_rng(seed: int, pos: int) -> np.random.RandomState:
+    """Per-sample RandomState derived from (stream seed, stream position).
+
+    Every process derives the SAME generator for the same sample, which makes
+    transform decisions (and hence bucket keys) host-invariant — the
+    load-bearing property for the multi-host batch schedule (every rank must
+    reach the jitted step with the same bucket shapes/modes in the same
+    order; cf. the reference's DDP dummy-forward hazard,
+    ``mmmm/models/mmmm.py:263-278``)."""
+    return np.random.RandomState(np.random.SeedSequence([seed, pos]).generate_state(4))
+
+
 def mimic_neg_weights(has_anomaly: np.ndarray, neg_weight: float) -> np.ndarray:
     """Per-sample weights giving negative (no-anomaly) reports a target share
     ``neg_weight`` of the dataset (``datamodule.py:49-62``)."""

@@ -146,7 +146,7 @@ _BUILTIN = [
     TargetClass("glioma", ANOMALY, ["brain tumor"]),
     TargetClass("meningioma", ANOMALY),
     TargetClass("brain metastasis", ANOMALY, ["brain metastases"]),
-    TargetClass("nodule", ANOMALY, ["pulmonary nodule", "lung nodule"]),
+    TargetClass("lung nodule", ANOMALY, ["nodule", "pulmonary nodule", "lung mass"]),
     TargetClass("pleural effusion", ANOMALY, ["effusion"]),
     TargetClass("pericardial effusion", ANOMALY),
     TargetClass("cardiomegaly", ANOMALY, ["enlarged heart", "enlarged cardiac silhouette"]),
@@ -167,7 +167,7 @@ _BUILTIN = [
     TargetClass("atelectasis", ANOMALY, ["collapsed lung tissue"]),
     TargetClass("pneumothorax", ANOMALY),
     TargetClass("pneumonia", ANOMALY),
-    TargetClass("emphysema", ANOMALY),
+    TargetClass("pulmonary emphysema", ANOMALY, ["emphysema"]),
     TargetClass("pulmonary consolidation", ANOMALY, ["consolidation"]),
     TargetClass("pulmonary edema", ANOMALY, ["edema"]),
     TargetClass("pulmonary fibrosis", ANOMALY, ["fibrosis", "pulmonary fibrotic sequela"]),
@@ -189,19 +189,33 @@ _BUILTIN = [
     TargetClass("mosaic attenuation pattern", ANOMALY),
     TargetClass("peribronchial thickening", ANOMALY, ["peribronchial wall thickening"]),
     TargetClass("interlobular septal thickening", ANOMALY, ["septal thickening"]),
-    TargetClass("infiltration", ANOMALY, ["pulmonary infiltrate"]),
+    TargetClass("pulmonary infiltrate", ANOMALY, ["infiltration", "infiltrate"]),
+    TargetClass("pulmonary cavity", ANOMALY, ["lung cavity", "cavitation"]),
+    TargetClass("pulmonary cyst", ANOMALY, ["lung cyst"]),
+    TargetClass("pulmonary artery enlargement", ANOMALY, ["enlarged pulmonary artery", "enlarged PA"]),
     TargetClass("support device", ANOMALY, ["medical device", "medical material"]),
 ]
 
 
+def _index(classes) -> dict[str, TargetClass]:
+    """Name -> class mapping that ALSO resolves synonyms (canonical names
+    win on clashes), so dataset class maps, tagger targets and detector
+    outputs join the taxonomy under any of a class's names."""
+    idx = {t.name: t for t in classes}
+    for t in classes:
+        for s in t.synonyms:
+            idx.setdefault(s, t)
+    return idx
+
+
 def load_target_tax(path: str | Path | None = None) -> dict[str, TargetClass]:
     if path is None:
-        return {t.name: t for t in _BUILTIN}
+        return _index(_BUILTIN)
     path = Path(path)
     if path.suffix == ".json":
         items = json.loads(path.read_text())
-        tax = {
-            d["name"]: TargetClass(
+        return _index([
+            TargetClass(
                 d["name"],
                 d["category"],
                 d.get("synonyms", []),
@@ -209,19 +223,18 @@ def load_target_tax(path: str | Path | None = None) -> dict[str, TargetClass]:
                 d.get("children", []),
             )
             for d in items
-        }
-        return tax
+        ])
     if path.suffix == ".xlsx":
         import pandas as pd
 
-        tax = {}
+        classes = []
         for category in (ANATOMY, ANOMALY):
             df = pd.read_excel(path, sheet_name=category)
             for _, row in df.iterrows():
                 syn = row.get("synonyms")
                 synonyms = [s.strip() for s in str(syn).split("|")] if isinstance(syn, str) else []
-                tax[row["name"]] = TargetClass(row["name"], category, synonyms)
-        return tax
+                classes.append(TargetClass(row["name"], category, synonyms))
+        return _index(classes)
     raise ValueError(f"unsupported taxonomy file {path}")
 
 

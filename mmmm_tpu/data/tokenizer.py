@@ -42,7 +42,16 @@ class _ByteBackend:
 
 
 class _HFBackend:
-    """Wraps a HuggingFace fast tokenizer already containing the base vocab."""
+    """Wraps a HuggingFace fast tokenizer already containing the base vocab.
+
+    ``handles_specials``: the 8 MMMM specials are AddedTokens inside the HF
+    tokenizer, so one ``encode`` call splits on them natively. This matters
+    for sentencepiece semantics: encoding the segments separately (the byte
+    backend's manual split) would give every post-special segment its own
+    dummy-prefix space, diverging from the reference
+    (``mmmm/tokenizer.py:46-52`` relies on HF-internal splitting)."""
+
+    handles_specials = True
 
     def __init__(self, tok):
         self.tok = tok
@@ -105,6 +114,8 @@ class MMMMTokenizer:
 
     def encode(self, text: str) -> list[int]:
         """Encode text, recognizing special tokens as atomic units."""
+        if getattr(self.backend, "handles_specials", False):
+            return self.backend.encode(text)
         ids: list[int] = []
         rest = text
         while rest:

@@ -94,6 +94,11 @@ def resize_3d(x: np.ndarray, shape: tuple[int, int, int]) -> np.ndarray:
         return np.asarray(resample_nd(np.asarray(x, np.float32), tuple(shape)))
 
 
+def divisible_pad_shape(spatial, stride) -> tuple[int, int, int]:
+    """Spatial shape after ``divisible_pad`` (metadata-only planning)."""
+    return tuple(int(-(-s // st) * st) for s, st in zip(spatial, stride))
+
+
 def divisible_pad(x: np.ndarray, stride: tuple[int, int, int]):
     """Symmetric pad of (C, D, H, W) so spatial dims divide ``stride``.
 
@@ -107,18 +112,29 @@ def divisible_pad(x: np.ndarray, stride: tuple[int, int, int]):
     return np.pad(x, pads), before
 
 
-def rand_flips_rot90(
+def sample_flips_rot90(
+    R: np.random.RandomState, flip_prob: float = 0.5, rot_prob: float = 0.75
+) -> tuple[list[bool], int]:
+    """Sample the flip/rot90 decisions WITHOUT touching pixels.
+
+    Split from application so a metadata-only planning pass (multi-host
+    host-invariant bucket scheduling) consumes the RNG identically to full
+    materialization. Returns (flips per axis, k quarter-turns; k=0 = none)."""
+    flips = [bool(R.uniform() < flip_prob) for _ in range(3)]
+    k = int(R.randint(1, 4)) if R.uniform() < rot_prob else 0
+    return flips, k
+
+
+def apply_flips_rot90(
     image: np.ndarray,  # (C, D, H, W)
     masks: np.ndarray | None,  # (N, D, H, W)
     boxes: np.ndarray | None,  # (M, 6) int corners (d0,h0,w0,d1,h1,w1)
-    R: np.random.RandomState,
-    flip_prob: float = 0.5,
-    rot_prob: float = 0.75,
+    flips: list[bool],
+    k: int,
 ):
-    """Random per-axis flips + axial (H, W) 90-degree rotation with box updates."""
     boxes = None if boxes is None else np.asarray(boxes, np.int64).copy()
     for ax in range(3):
-        if R.uniform() < flip_prob:
+        if flips[ax]:
             image = np.flip(image, axis=1 + ax)
             if masks is not None:
                 masks = np.flip(masks, axis=1 + ax)
@@ -126,14 +142,26 @@ def rand_flips_rot90(
                 size = image.shape[1 + ax]
                 lo, hi = boxes[:, ax].copy(), boxes[:, 3 + ax].copy()
                 boxes[:, ax], boxes[:, 3 + ax] = size - hi, size - lo
-    if R.uniform() < rot_prob:
-        k = R.randint(1, 4)
+    if k:
         image = np.rot90(image, k, axes=(2, 3))
         if masks is not None:
             masks = np.rot90(masks, k, axes=(2, 3))
         if boxes is not None:
             boxes = _rot90_boxes(boxes, k, (image.shape[2], image.shape[3]))
     return np.ascontiguousarray(image), (None if masks is None else np.ascontiguousarray(masks)), boxes
+
+
+def rand_flips_rot90(
+    image: np.ndarray,
+    masks: np.ndarray | None,
+    boxes: np.ndarray | None,
+    R: np.random.RandomState,
+    flip_prob: float = 0.5,
+    rot_prob: float = 0.75,
+):
+    """Random per-axis flips + axial (H, W) 90-degree rotation with box updates."""
+    flips, k = sample_flips_rot90(R, flip_prob, rot_prob)
+    return apply_flips_rot90(image, masks, boxes, flips, k)
 
 
 def _rot90_boxes(boxes: np.ndarray, k: int, final_hw: tuple[int, int]) -> np.ndarray:

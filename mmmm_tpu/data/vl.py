@@ -19,7 +19,15 @@ from .input_builder import prepare_vlm_inputs
 from .target_tax import get_target_tax
 from .templates import gen_general_conv, gen_modality_conv, toss
 from .tokenizer import MMMMTokenizer
-from .transforms import divisible_pad, ensure_rgb, get_max_resize, get_patch_size_z, intensity_norm, resize_3d
+from .transforms import (
+    divisible_pad,
+    divisible_pad_shape,
+    ensure_rgb,
+    get_max_resize,
+    get_patch_size_z,
+    intensity_norm,
+    resize_3d,
+)
 from ..utils import load_pt_zst
 
 CAPTION_PROMPTS = [
@@ -74,6 +82,29 @@ def load_image_any(path) -> np.ndarray:
     return arr
 
 
+def probe_image_shape(path, data: dict | None = None, idx: int | None = None) -> tuple[int, int, int, int]:
+    """(C, D, H, W) of an image file WITHOUT decoding pixels when possible.
+
+    Order: per-item ``shape`` metadata (emitted by the VL converters) ->
+    PIL header read (jpg/png: lazy, no pixel decode) -> full load (``.pt``
+    containers without metadata; correct but slow — converters should emit
+    ``shape``)."""
+    if data is not None and data.get("shape") is not None and idx is not None:
+        s = data["shape"][idx]
+        if s is not None:
+            s = tuple(int(x) for x in s)
+            return s if len(s) == 4 else (s[0], 1, *s[1:])
+    path = Path(path)
+    if path.name.endswith(".pt.zst") or path.suffix == ".pt":
+        return tuple(load_image_any(path).shape)
+    from PIL import Image
+
+    with Image.open(path) as img:
+        w, h = img.size
+        c = len(img.getbands())
+    return (c, 1, h, w)
+
+
 def get_vl_data_list(dataset_dir: Path, split: Split = Split.TRAIN, processed: bool | None = None) -> list[dict]:
     dataset_dir = Path(dataset_dir)
     name = dataset_dir.name
@@ -107,8 +138,9 @@ class VLTransform:
         self.target_tax = target_tax if target_tax is not None else get_target_tax()
         self.R = np.random.RandomState(seed)
 
-    def __call__(self, data: dict) -> dict:
-        conf, tc, R = self.conf, self.tc, self.R
+    def __call__(self, data: dict, rng: np.random.RandomState | None = None, plan_only: bool = False) -> dict:
+        conf, tc = self.conf, self.tc
+        R = rng if rng is not None else self.R
         dataset = data["dataset"]
         candidates = np.arange(len(data["image"]))
         allow_report = True
@@ -124,8 +156,13 @@ class VLTransform:
         modality = data["modality"][idx] if data.get("modality") else None
         plane = data["plane"][idx] if data.get("plane") else None
 
-        image = load_image_any(image_path).astype(np.float32) / 255.0
-        size_z = image.shape[1]
+        if plan_only:
+            image = None
+            c_in, *spatial_in = probe_image_shape(image_path, data, idx)
+        else:
+            image = load_image_any(image_path).astype(np.float32) / 255.0
+            c_in, spatial_in = image.shape[0], image.shape[1:]
+        size_z = spatial_in[0]
         patch_size_z, pool_size_z, stride_z, tokens_z = get_patch_size_z(
             conf.base_vit_patch_size_z, conf.base_pool_size_z, size_z,
             tc.max_tokens_z, tc.log2_patch_size_z_std, R,
@@ -133,17 +170,18 @@ class VLTransform:
         stride = (stride_z, conf.stride_xy, conf.stride_xy)
         resize = (
             min(size_z, tokens_z * stride_z),
-            *get_max_resize(image.shape[2:], conf.stride_xy, tc.max_tokens // tokens_z),
+            *get_max_resize(spatial_in[1:], conf.stride_xy, tc.max_tokens // tokens_z),
         )
-        image = resize_3d(image, resize)
-        image, _ = divisible_pad(image, stride)
-        # bucket to quantized token grid
-        tokens = tuple(s // st for s, st in zip(image.shape[1:], stride))
+        padded = divisible_pad_shape(resize, stride)
+        tokens = tuple(s // st for s, st in zip(padded, stride))
         qgrid = tuple(int(-(-t // q) * q) for t, q in zip(tokens, tc.grid_quant))
         target_shape = tuple(g * st for g, st in zip(qgrid, stride))
-        image = np.pad(image, [(0, 0), *[(0, t - s) for t, s in zip(target_shape, image.shape[1:])]])
-        image = ensure_rgb(image)
-        image = intensity_norm(image)
+        if not plan_only:
+            image = resize_3d(image, resize)
+            image, _ = divisible_pad(image, stride)
+            image = np.pad(image, [(0, 0), *[(0, t - s) for t, s in zip(target_shape, image.shape[1:])]])
+            image = ensure_rgb(image)
+            image = intensity_norm(image)
 
         referring = R.choice(REFERRINGS)
         conversation: list[ConvTurn] = []
@@ -172,12 +210,24 @@ class VLTransform:
             R.shuffle(conv_vqa)
             conversation += conv_vqa
 
-        num_image_tokens = int(np.prod([s // st for s, st in zip(image.shape[1:], stride)]))
+        num_image_tokens = int(np.prod(qgrid))
         vlm_inputs, text = prepare_vlm_inputs(
             conversation, self.tokenizer, num_image_tokens,
             inference=self.inference, grounding=False,
             max_seq_len=conf.max_seq_len, bop_weight=1.0,
         )
+        if plan_only:
+            return {
+                "plan": True,
+                "src": (dataset, str(image_path)),
+                "image_shape": (3 if c_in == 1 else c_in, *target_shape),
+                "patch_size": (patch_size_z, conf.vit_patch_size_xy, conf.vit_patch_size_xy),
+                "pool_size": (pool_size_z, conf.pool_size_xy, conf.pool_size_xy),
+                "grounding": False,
+                "instance": False,
+                "labels_present": not self.inference,
+                "seq_len": len(vlm_inputs.input_ids),
+            }
         return {
             "src": (dataset, str(image_path)),
             "image": image.astype(np.float32),

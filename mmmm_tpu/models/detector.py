@@ -38,9 +38,10 @@ from ..ops.hungarian import lap_rectangular
 VINDR_CLASSES = [
     "aortic enlargement", "atelectasis", "calcification", "cardiomegaly",
     "clavicle fracture", "pulmonary consolidation", "pulmonary edema",
-    "emphysema", "pulmonary artery enlargement", "interstitial lung disease",
-    "infiltration", "pulmonary cavity", "pulmonary cyst",
-    "pulmonary opacification", "mediastinal shift", "nodule",
+    "pulmonary emphysema", "pulmonary artery enlargement",
+    "interstitial lung disease", "pulmonary infiltrate", "pulmonary cavity",
+    "pulmonary cyst", "pulmonary opacification", "mediastinal shift",
+    "lung nodule",
     "pleural effusion", "pleural thickening", "pneumothorax",
     "pulmonary fibrosis", "rib fracture",
 ]

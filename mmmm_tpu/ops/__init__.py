@@ -1,4 +1,4 @@
-from .attention import segment_attention, decode_attention
+from .attention import segment_attention, decode_attention, set_ring_context
 from .rope import rope_cos_sin, apply_rope
 from .norm import rms_norm, layer_norm
 from .resample import (

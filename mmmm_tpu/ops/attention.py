@@ -30,6 +30,23 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# sequence-parallel (ring) context: set by the trainer when the mesh carries a
+# sequence axis; ``segment_attention(impl="ring")`` consults it. A global is
+# the pragmatic dependency direction (ops must not import parallel eagerly).
+_RING_CONTEXT: tuple | None = None  # (mesh, seq_axis, batch_axis)
+
+
+def set_ring_context(mesh, axis: str = "seq", batch_axis: str | None = "data") -> None:
+    """Enable ``impl="ring"`` dispatch: sequence-shard attention over
+    ``mesh[axis]`` (ring K/V exchange), batch over ``batch_axis``. Pass
+    ``mesh=None`` to clear."""
+    global _RING_CONTEXT
+    _RING_CONTEXT = None if mesh is None else (mesh, axis, batch_axis)
+
+
+def get_ring_context():
+    return _RING_CONTEXT
+
 
 def _build_mask(
     q_segments: jnp.ndarray,  # (B, Sq) int
@@ -95,10 +112,27 @@ def segment_attention(
 
     Returns: (B, Sq, H, D) in the dtype of ``v``; masked rows are zero.
     """
+    self_attn = kv_segments is None
     if kv_segments is None:
         kv_segments = q_segments
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl == "ring":
+        # sequence-parallel ring attention over the context mesh's seq axis;
+        # call sites that can't ring (cross-attention, seq not divisible by
+        # the ring size) fall back to the local impl — same math, unsharded
+        ctx = _RING_CONTEXT
+        if ctx is not None:
+            mesh, axis, batch_axis = ctx
+            n = mesh.shape[axis]
+            if self_attn and n > 1 and q.shape[1] % n == 0:
+                from ..parallel.ring_attention import ring_segment_attention
+
+                return ring_segment_attention(
+                    q, k, v, q_segments, mesh, axis,
+                    batch_axis=batch_axis, causal=causal, scale=scale,
+                )
+        impl = "auto"
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":

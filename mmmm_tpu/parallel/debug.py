@@ -20,18 +20,19 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 
-def check_batch_uniform(batch, mesh: Mesh, axis: str = "data") -> None:
-    """Raise if any array leaf's non-batch content is NaN/Inf or its batch
-    dim does not divide the ``axis`` size (the silent-drop DDP failure)."""
+def check_batch_uniform(batch, mesh: Mesh, axis: str = "data", world_size: int = 1) -> None:
+    """Raise if any array leaf's batch dim does not shard evenly over the
+    ``axis`` size (the silent-drop DDP failure). ``world_size`` scales a
+    process-LOCAL leading dim up to the logical global batch."""
     n = mesh.shape[axis]
     for path, leaf in jax.tree_util.tree_flatten_with_path(batch)[0]:
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             continue
-        if leaf.shape[0] % n:
+        if (leaf.shape[0] * world_size) % n:
             name = "/".join(str(getattr(e, "key", e)) for e in path)
             raise ValueError(
-                f"batch[{name}]: leading dim {leaf.shape[0]} not divisible by "
-                f"{axis}={n}; ranks would receive unequal shards"
+                f"batch[{name}]: global leading dim {leaf.shape[0] * world_size} "
+                f"not divisible by {axis}={n}; ranks would receive unequal shards"
             )
 
 

@@ -13,16 +13,23 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. ``data=None`` uses all remaining devices."""
+def make_mesh(
+    data: int | None = None, model: int = 1, seq: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, model[, seq]) mesh. ``data=None`` uses all remaining
+    devices. ``seq>1`` adds a sequence-parallel axis (innermost, so ring
+    attention's ppermute rides neighboring ICI links)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        devices = devices[: data * model]
+        if n % (model * seq):
+            raise ValueError(f"{n} devices not divisible by model={model} x seq={seq}")
+        data = n // (model * seq)
+    if data * model * seq != n:
+        devices = devices[: data * model * seq]
+    if seq > 1:
+        arr = np.asarray(devices).reshape(data, model, seq)
+        return Mesh(arr, ("data", "model", "seq"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))

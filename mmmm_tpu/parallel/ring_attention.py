@@ -163,41 +163,41 @@ def _bwd_local(axis, n, shard, scale, causal, q, k, v, segments, out, lse, g):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _ring(mesh, axis, causal, scale, q, k, v, segments):
-    out, _ = _ring_call(mesh, axis, causal, scale, q, k, v, segments)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _ring(mesh, axis, batch_axis, causal, scale, q, k, v, segments):
+    out, _ = _ring_call(mesh, axis, batch_axis, causal, scale, q, k, v, segments)
     return out
 
 
-def _ring_call(mesh, axis, causal, scale, q, k, v, segments):
+def _ring_call(mesh, axis, batch_axis, causal, scale, q, k, v, segments):
     n = mesh.shape[axis]
     shard = q.shape[1] // n
-    spec = P(None, axis, None, None)
-    seg_spec = P(None, axis)
+    spec = P(batch_axis, axis, None, None)
+    seg_spec = P(batch_axis, axis)
     return shard_map(
         functools.partial(_fwd_local, axis, n, shard, scale, causal),
         mesh=mesh,
         in_specs=(spec, spec, spec, seg_spec),
-        out_specs=(spec, P(None, axis, None)),
+        out_specs=(spec, P(batch_axis, axis, None)),
         check_vma=False,
     )(q, k, v, segments)
 
 
-def _ring_fwd(mesh, axis, causal, scale, q, k, v, segments):
-    out, lse = _ring_call(mesh, axis, causal, scale, q, k, v, segments)
+def _ring_fwd(mesh, axis, batch_axis, causal, scale, q, k, v, segments):
+    out, lse = _ring_call(mesh, axis, batch_axis, causal, scale, q, k, v, segments)
     return out, (q, k, v, segments, out, lse)
 
 
-def _ring_bwd(mesh, axis, causal, scale, res, g):
+def _ring_bwd(mesh, axis, batch_axis, causal, scale, res, g):
     q, k, v, segments, out, lse = res
     n = mesh.shape[axis]
     shard = q.shape[1] // n
-    spec = P(None, axis, None, None)
-    seg_spec = P(None, axis)
+    spec = P(batch_axis, axis, None, None)
+    seg_spec = P(batch_axis, axis)
     dq, dk, dv = shard_map(
         functools.partial(_bwd_local, axis, n, shard, scale, causal),
         mesh=mesh,
-        in_specs=(spec, spec, spec, seg_spec, spec, P(None, axis, None), spec),
+        in_specs=(spec, spec, spec, seg_spec, spec, P(batch_axis, axis, None), spec),
         out_specs=(spec, spec, spec),
         check_vma=False,
     )(q, k, v, segments, out, lse, g)
@@ -215,6 +215,7 @@ def ring_segment_attention(
     mesh: Mesh,
     axis: str = "model",
     *,
+    batch_axis: str | None = None,
     causal: bool = False,
     scale: float | None = None,
 ) -> jnp.ndarray:
@@ -222,12 +223,14 @@ def ring_segment_attention(
 
     Semantics match ``ops.attention.segment_attention`` (block-diagonal by
     nonzero segment id, optional causal, masked rows -> 0); the sequence axis
-    of every operand is sharded over ``axis``. Differentiable with O(shard)
-    residual memory (custom ring VJP).
+    of every operand is sharded over ``axis``. ``batch_axis`` additionally
+    shards the batch dim (composes with data parallelism — without it the
+    shard_map would all-gather the batch across ``data`` ranks).
+    Differentiable with O(shard) residual memory (custom ring VJP).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis]
     if q.shape[1] % n:
         raise ValueError(f"sequence {q.shape[1]} not divisible by ring size {n}")
-    return _ring(mesh, axis, causal, float(scale), q, k, v, segments)
+    return _ring(mesh, axis, batch_axis, causal, float(scale), q, k, v, segments)

@@ -84,11 +84,27 @@ class PartitionRules:
         return P()  # replicate
 
 
+def _fit_spec(spec: P, leaf, mesh: Mesh) -> P:
+    """Drop (replicate) any spec axis whose dim does not divide the mesh axis
+    (e.g. an odd vocab over ``model``) — correctness first, performance where
+    shapes allow; megatron pads instead, we replicate the stragglers."""
+    shape = getattr(leaf, "shape", ())
+    out = list(spec) + [None] * (len(shape) - len(spec))
+    for d, axis in enumerate(out):
+        if axis is not None and shape[d] % mesh.shape[axis]:
+            out[d] = None
+    while out and out[-1] is None:
+        out.pop()
+    return P(*out)
+
+
 def param_shardings(tree, mesh: Mesh, rules: PartitionRules = PartitionRules()):
     """NamedSharding pytree mirroring ``tree`` (params / LoRA / opt state)."""
     flat, treedef = _flatten_paths(tree)
     shardings = [
-        NamedSharding(mesh, rules.spec_for(path, getattr(leaf, "ndim", 0)))
+        NamedSharding(
+            mesh, _fit_spec(rules.spec_for(path, getattr(leaf, "ndim", 0)), leaf, mesh)
+        )
         for path, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, shardings)
@@ -115,7 +131,7 @@ def fsdp_shardings(
     out = []
     for path, leaf in flat:
         ndim = getattr(leaf, "ndim", 0)
-        base = rules.spec_for(path, ndim)
+        base = _fit_spec(rules.spec_for(path, ndim), leaf, mesh)
         spec = list(base) + [None] * (ndim - len(base))
         size = getattr(leaf, "size", 0)
         if n > 1 and size >= min_size and ndim > 0:
@@ -131,6 +147,23 @@ def fsdp_shardings(
                 spec[best] = axis
         out.append(NamedSharding(mesh, P(*spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def bytes_per_device(tree, shardings) -> int:
+    """Per-device bytes of ``tree`` (arrays or ShapeDtypeStructs) under the
+    matching ``shardings`` pytree — the HBM-fit estimate for flagship configs."""
+    total = 0
+    for leaf, sh in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )):
+        shape = getattr(leaf, "shape", ())
+        nbytes = int(np.prod(shape, dtype=np.int64)) * jax.dtypes.canonicalize_dtype(leaf.dtype).itemsize
+        factor = 1
+        for d, axis in enumerate(tuple(sh.spec) + (None,) * (len(shape) - len(sh.spec))):
+            if axis is not None:
+                factor *= sh.mesh.shape[axis]
+        total += nbytes // factor
+    return total
 
 
 def batch_shardings(batch, mesh: Mesh):

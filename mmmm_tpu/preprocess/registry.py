@@ -81,8 +81,10 @@ _seg("MSD-Task08-HepaticVessel", "CT", {1: "hepatic vessel", 2: "liver tumor"},
      instance=("liver tumor",))
 _seg("MSD-Task09-Spleen", "CT", {1: "spleen"})
 _seg("MSD-Task10-Colon", "CT", {1: "colon cancer"}, instance=("colon cancer",))
-# BraTS-style glioma/meningioma/metastasis region masks (semantic)
-for _suffix in ("GLI", "MEN", "MET"):
+# BraTS-style tumor-region masks (semantic) — all five 2023 tracks
+# (ref BraTS2023.py:58-81: GLI/MEN/MET/PED/SSA share one processor; PED and
+# SSA enabled in conf/align-sam/data.yaml:23-25)
+for _suffix in ("GLI", "MEN", "MET", "PED", "SSA"):
     _seg(f"BraTS2023-{_suffix}", "MRI",
          {1: "necrotic tumor core", 2: "peritumoral edema", 3: "enhancing tumor"})
 _register(DatasetRecipe("TotalSegmentator", "segfolder", "CT"))
@@ -141,8 +143,9 @@ _register(DatasetRecipe(
         "Larynx_SG": "supraglottis", "Lips": "lip",
     },
 ))
-# lung nodules as instances (ref LIDC_IDRI.py:112-130 clusters annotations)
-_seg("LIDC-IDRI", "CT", {1: "nodule"}, instance=("nodule",))
+# lung nodules as instances (ref LIDC_IDRI.py:112-137 clusters annotations;
+# taxonomy canonical name 'lung nodule', LIDC_IDRI.py:137)
+_seg("LIDC-IDRI", "CT", {1: "lung nodule"}, instance=("lung nodule",))
 _seg("MRSpineSeg", "MRI", {
     1: "sacrum", 2: "L5 vertebra", 3: "L4 vertebra", 4: "L3 vertebra",
     5: "L2 vertebra", 6: "L1 vertebra", 7: "T12 vertebra", 8: "T11 vertebra",

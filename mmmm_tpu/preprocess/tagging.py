@@ -34,7 +34,11 @@ class TaxonomyTagger(Tagger):
         self.positives_only = positives_only
         # longest synonym first so "left lung" beats "lung"
         entries = []
+        seen: set[int] = set()  # the tax dict maps synonyms too; dedupe classes
         for cls in target_tax.values():
+            if id(cls) in seen:
+                continue
+            seen.add(id(cls))
             for syn in cls.synonyms:
                 entries.append((syn.lower(), cls.name))
         entries.sort(key=lambda e: -len(e[0]))

@@ -78,7 +78,7 @@ def effective_params(
     return lora_merge(base, trainable["lora"], lora_cfg, dropout_rng=dropout_rng)
 
 
-def make_train_step(
+def make_step_fn(
     model: MMMMModel,
     optimizer,
     lora_cfg: LoraConfig,
@@ -87,18 +87,9 @@ def make_train_step(
     bf16_vlm: bool = False,
     attn_impl: str = "auto",
     remat: bool = True,
-    mesh=None,
-    frozen_example: dict | None = None,
-    state_example: TrainState | None = None,
-    batch_example: dict | None = None,
-    donate: bool = True,
     dropout_seed: int | None = 0,
 ) -> Callable:
-    """Build the jitted step(state, frozen, batch) -> (state, logs).
-
-    With ``mesh`` provided, in/out shardings pin params to the TP layout and
-    the batch to the data axis; otherwise plain jit.
-    """
+    """The pure (unjitted) step_fn(state, frozen, batch) -> (state, logs)."""
 
     use_dropout = dropout_seed is not None and lora_cfg.dropout > 0.0
 
@@ -124,14 +115,44 @@ def make_train_step(
         new_state = TrainState(state.step + 1, trainable, opt_state)
         return new_state, logs
 
+    return step_fn
 
-    def split_batch(batch):
-        arrays = {
-            k: v
-            for k, v in batch.items()
-            if k not in ("patch_size", "pool_size") and hasattr(v, "ndim")
-        }
-        return arrays, batch.get("patch_size"), batch.get("pool_size")
+
+def split_batch(batch):
+    arrays = {
+        k: v
+        for k, v in batch.items()
+        if k not in ("patch_size", "pool_size") and hasattr(v, "ndim")
+    }
+    return arrays, batch.get("patch_size"), batch.get("pool_size")
+
+
+def make_train_step(
+    model: MMMMModel,
+    optimizer,
+    lora_cfg: LoraConfig,
+    *,
+    vg_mode: str = "none",
+    bf16_vlm: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = True,
+    mesh=None,
+    frozen_example: dict | None = None,
+    state_example: TrainState | None = None,
+    batch_example: dict | None = None,
+    donate: bool = True,
+    dropout_seed: int | None = 0,
+) -> Callable:
+    """Build the jitted step(state, frozen, batch) -> (state, logs).
+
+    With ``mesh`` provided, in/out shardings pin params to the TP layout and
+    the batch to the data axis; otherwise plain jit.
+    """
+
+    step_fn = make_step_fn(
+        model, optimizer, lora_cfg, vg_mode=vg_mode, bf16_vlm=bf16_vlm,
+        attn_impl=attn_impl, remat=remat, dropout_seed=dropout_seed,
+    )
 
     @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,) if donate else ())
     def jit_step(state, frozen, batch_arrays, patch_size, pool_size):
@@ -152,9 +173,33 @@ def make_train_step(
     # they are the HBM ceiling when replicated per data rank; XLA all-gathers
     # them just-in-time per use. The batch is assembled from process-local
     # shards (multi-host) or device_put (single host) by ``global_batch``.
+    #
+    # Multi-controller note: ``jax.device_put`` cannot send a process-local
+    # array to a sharding spanning other hosts ("cross host device
+    # transfers"); since every process holds the same full value (identical
+    # init / restore), each builds the global array from its own copy via
+    # ``make_array_from_callback``. Outputs of the jitted step are already
+    # global and pass through untouched; frozen placement is cached.
+    def _place(tree, shardings):
+        def one(x, s):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array from a previous step
+            if jax.process_count() == 1:
+                return jax.device_put(x, s)
+            import numpy as np
+
+            xnp = np.asarray(x)
+            return jax.make_array_from_callback(
+                xnp.shape, s, lambda idx: np.asarray(xnp[idx])
+            )
+
+        return jax.tree_util.tree_map(one, tree, shardings)
+
+    placed_frozen = {}
+
     def run_sharded(state, frozen, batch):
         arrays, patch, pool = split_batch(batch)
-        state = jax.device_put(
+        state = _place(
             state,
             TrainState(
                 param_shardings(state.step, mesh),
@@ -162,8 +207,79 @@ def make_train_step(
                 param_shardings(state.opt_state, mesh),
             ),
         )
-        frozen = jax.device_put(frozen, fsdp_shardings(frozen, mesh))
+        if placed_frozen.get("id") != id(frozen):
+            placed_frozen["id"] = id(frozen)
+            placed_frozen["tree"] = _place(frozen, fsdp_shardings(frozen, mesh))
+        frozen = placed_frozen["tree"]
         arrays = global_batch(arrays, mesh)
         return jit_step(state, frozen, arrays, patch, pool)
 
     return run_sharded
+
+
+def abstract_train_state(model: MMMMModel, optimizer, lora_cfg: LoraConfig):
+    """(state, frozen) as ShapeDtypeStructs — no arrays materialized.
+
+    Lets flagship-sized (17 B) configs be sharded/lowered on any host."""
+    return jax.eval_shape(
+        lambda: init_train_state(jax.random.PRNGKey(0), model, optimizer, lora_cfg)
+    )
+
+
+def lower_train_step(
+    model: MMMMModel,
+    optimizer,
+    lora_cfg: LoraConfig,
+    mesh,
+    batch: dict,  # array leaves may be ShapeDtypeStructs
+    *,
+    vg_mode: str = "none",
+    bf16_vlm: bool = True,
+    attn_impl: str = "xla",
+    remat: bool = True,
+):
+    """AOT-lower the sharded train step at abstract shapes (no execution).
+
+    Returns (lowered, state_sds, frozen_sds) where the ShapeDtypeStruct trees
+    carry the real TP/FSDP NamedShardings — the 17-B-under-TP lowering
+    regression (``bench.py`` flagship claim) runs this on a virtual CPU mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = make_step_fn(
+        model, optimizer, lora_cfg, vg_mode=vg_mode, bf16_vlm=bf16_vlm,
+        attn_impl=attn_impl, remat=remat,
+    )
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def jit_step(state, frozen, batch_arrays, patch_size, pool_size):
+        b = dict(batch_arrays)
+        if patch_size is not None:
+            b["patch_size"] = patch_size
+            b["pool_size"] = pool_size
+        return step_fn(state, frozen, b)
+
+    state_a, frozen_a = abstract_train_state(model, optimizer, lora_cfg)
+
+    def with_sharding(tree, shardings):
+        return jax.tree_util.tree_map(
+            lambda leaf, s: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=s),
+            tree, shardings,
+        )
+
+    state_sds = TrainState(
+        with_sharding(state_a.step, param_shardings(state_a.step, mesh)),
+        with_sharding(state_a.trainable, param_shardings(state_a.trainable, mesh)),
+        with_sharding(state_a.opt_state, param_shardings(state_a.opt_state, mesh)),
+    )
+    frozen_sds = with_sharding(frozen_a, fsdp_shardings(frozen_a, mesh))
+    arrays, patch, pool = split_batch(batch)
+    arrays_sds = {
+        k: jax.ShapeDtypeStruct(
+            v.shape, v.dtype,
+            sharding=NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))),
+        )
+        for k, v in arrays.items()
+    }
+    lowered = jit_step.lower(state_sds, frozen_sds, arrays_sds, patch, pool)
+    return lowered, state_sds, frozen_sds

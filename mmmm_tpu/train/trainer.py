@@ -37,6 +37,7 @@ class TrainerConfig:
     seed: int = 42
     batch_size: int = 8
     mesh_model: int = 1  # tensor-parallel degree
+    mesh_seq: int = 1  # sequence-parallel (ring attention) degree
     mesh_data: int | None = None  # data-parallel degree; None = auto
     bf16_vlm: bool = True
     remat: bool = True
@@ -73,15 +74,23 @@ class Trainer:
         init_distributed()
         self.mesh = None
         n_dev = len(jax.devices())
-        if cfg.mesh_model > 1 or cfg.mesh_data is not None or n_dev > 1:
+        if cfg.mesh_model > 1 or cfg.mesh_seq > 1 or cfg.mesh_data is not None or n_dev > 1:
             import math
 
             data = cfg.mesh_data
             if data is None:
                 # largest data axis that divides both the batch and the devices
-                avail = n_dev // cfg.mesh_model
+                avail = n_dev // (cfg.mesh_model * cfg.mesh_seq)
                 data = math.gcd(cfg.batch_size, avail) or 1
-            self.mesh = make_mesh(data=data, model=cfg.mesh_model)
+            self.mesh = make_mesh(data=data, model=cfg.mesh_model, seq=cfg.mesh_seq)
+        if cfg.mesh_seq > 1:
+            # sequence-parallel training: route every self-attention through
+            # the ring kernel (COMPONENTS §2.7 SP row)
+            from ..ops.attention import set_ring_context
+
+            if cfg.attn_impl not in ("ring",):
+                cfg.attn_impl = "ring"
+            set_ring_context(self.mesh, "seq", "data")
         self.steps = {
             mode: make_train_step(
                 model,
@@ -95,9 +104,15 @@ class Trainer:
             )
             for mode in ("none", "semantic", "instance")
         }
-        self._log_file = (self.out_dir / "metrics.jsonl").open("a")
+        # metrics stream: process 0 only (losses are identical across ranks by
+        # SPMD construction; concurrent appends would interleave)
+        self._log_file = (
+            (self.out_dir / "metrics.jsonl").open("a") if jax.process_index() == 0 else None
+        )
 
     def _log(self, step: int, logs: dict):
+        if self._log_file is None:
+            return
         rec = {"step": step, **{k: float(v) for k, v in logs.items()}}
         self._log_file.write(json.dumps(rec) + "\n")
         self._log_file.flush()
@@ -108,6 +123,17 @@ class Trainer:
         state, frozen = init_train_state(
             jax.random.PRNGKey(cfg.seed), self.model, self.optimizer, self.lora_cfg
         )
+
+        def _save_tree(s):
+            # pass jax.Arrays straight to orbax: it copies device->host before
+            # returning and coordinates multi-process global arrays (device_get
+            # would fail on non-addressable TP shards under multi-controller)
+            if jax.process_count() > 1:
+                return {"trainable": s.trainable, "opt_state": s.opt_state}
+            return {
+                "trainable": jax.device_get(s.trainable),
+                "opt_state": jax.device_get(s.opt_state),
+            }
         ckpt = CheckpointManager(self.out_dir / "ckpt", cfg.ckpt_every, cfg.keep_ckpts)
         start_step = 0
         if resume:
@@ -126,14 +152,19 @@ class Trainer:
             max_instances=self.dataset.conf.max_instances,
             max_seq_len=self.dataset.conf.max_seq_len,
         )
-        # stream enough samples for the remaining steps (some batches flush partial)
+        # Host-invariant schedule: every process plans the SAME global stream
+        # (metadata only, no pixel IO) so all ranks execute the same bucket
+        # (shape, mode) sequence; each materializes its 1/world slice per
+        # batch. Stream enough samples for the remaining steps (some batches
+        # flush partial).
         remaining = cfg.max_steps - start_step
+        from ..data.batching import scheduled_batches
         from ..parallel.distributed import process_rank
 
         rank, world = process_rank()
-        stream = self.dataset.stream(
-            remaining * cfg.batch_size * 2, seed=cfg.seed + start_step,
-            rank=rank, world_size=world,
+        batch_stream = scheduled_batches(
+            self.dataset, batcher, remaining * cfg.batch_size * 2,
+            seed=cfg.seed + start_step, rank=rank, world_size=world,
         )
 
         # preemption safety (SURVEY §5.3; the reference has none): SIGTERM /
@@ -154,18 +185,20 @@ class Trainer:
             except ValueError:  # non-main thread (tests)
                 pass
 
+        # MMMM_DEBUG: host-boundary consistency checks (SURVEY §5.2) — batch
+        # shard uniformity every step, replicated-state equality periodically
+        import os
+
+        debug = bool(os.environ.get("MMMM_DEBUG"))
+
         step_i = start_step
         t0 = time.time()
         profiling = False
-        for batch in batcher(stream):
+        for batch in batch_stream:
             if step_i >= cfg.max_steps:
                 break
             if preempted["flag"]:
-                ckpt.force_save(
-                    step_i,
-                    {"trainable": jax.device_get(state.trainable),
-                     "opt_state": jax.device_get(state.opt_state)},
-                )
+                ckpt.force_save(step_i, _save_tree(state))
                 ckpt.wait()
                 print(f"preemption checkpoint saved at step {step_i}", flush=True)
                 break
@@ -174,8 +207,19 @@ class Trainer:
                 profiling = True
             mode = batch.pop("vg_mode")
             batch.pop("src", None)
+            if debug and self.mesh is not None:
+                from ..parallel.debug import check_batch_uniform
+
+                check_batch_uniform(
+                    {k: v for k, v in batch.items() if k not in ("patch_size", "pool_size")},
+                    self.mesh, world_size=world,
+                )
             state, logs = self.steps[mode](state, frozen, batch)
             step_i += 1
+            if debug and self.mesh is not None and step_i % cfg.log_every == 0:
+                from ..parallel.debug import assert_replicated_equal
+
+                assert_replicated_equal({"step": state.step}, self.mesh)
             if profiling and step_i >= cfg.profile_start + cfg.profile_steps:
                 jax.tree.map(lambda x: x.block_until_ready(), logs)
                 jax.profiler.stop_trace()
@@ -185,9 +229,18 @@ class Trainer:
                 dt = time.time() - t0
                 self._log(step_i, {**logs, "steps_per_sec": cfg.log_every / max(dt, 1e-9)})
                 t0 = time.time()
-            ckpt.maybe_save(step_i, {"trainable": jax.device_get(state.trainable), "opt_state": jax.device_get(state.opt_state)})
+            ckpt.maybe_save(step_i, _save_tree(state))
         ckpt.wait()
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
-        save_adapter(self.out_dir / "adapter.npz", jax.device_get(state.trainable))
+        # adapter export: gather TP-sharded trainable leaves to host (every
+        # process gets the full tree; only process 0 writes)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            trainable_host = multihost_utils.process_allgather(state.trainable, tiled=True)
+        else:
+            trainable_host = jax.device_get(state.trainable)
+        if jax.process_index() == 0:
+            save_adapter(self.out_dir / "adapter.npz", trainable_host)
         return state

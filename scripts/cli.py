@@ -38,8 +38,10 @@ def cmd_fit(args):
     lora_cfg = build(LoraConfig, cfg.get("lora") or {})
     trainer_cfg = build(TrainerConfig, cfg.get("trainer") or {})
 
-    print(f"devices: {jax.devices()}", flush=True)
+    # NOTE: no jax.devices() before Trainer — it would initialize the backend
+    # and break jax.distributed.initialize in multi-process runs
     trainer = Trainer(model, dataset, opt_cfg, lora_cfg, trainer_cfg)
+    print(f"devices: {jax.devices()}", flush=True)
     trainer.fit(resume=not args.no_resume)
 
 
