@@ -38,10 +38,14 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = 128
-BATCH = 16
+# int8 weights + int8 KV cache freed enough HBM for batch 20 (batch 24
+# overruns 16 GB by ~0.4 GB in prefill temps; batch 32 overruns the remote
+# compiler — ROADMAP); override with MMMM_BENCH_BATCH
+BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "20"))
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
+KV_DTYPE = os.environ.get("MMMM_BENCH_KV", "int8")  # "int8" | "bf16"
 
 
 def _bench_cfg():
@@ -51,8 +55,9 @@ def _bench_cfg():
     FLOPs equal to a ~12 B dense model), EVA ViT at hidden 1408 x 24 layers
     (~0.6 B), SegVol SAM head. Total ~6.5 B params = ~13 GB bf16, leaving
     room for the KV cache + fp32 logits. (A >=7 B-param dual-expert is >=14 GB
-    of weights alone and OOMs with caches — the 17 B flagship runs under TP,
-    which the driver validates via dryrun_multichip.)"""
+    of weights alone and OOMs with caches — the 17 B flagship runs under TP;
+    its sharded lowering + per-device HBM fit are regression-tested in
+    tests/test_tp_lowering.py and AOT-checked by dryrun_multichip.)"""
     from mmmm_tpu.models import MMMMConfig
     from mmmm_tpu.models.cogvlm import CogVLMConfig, VisionConfig
     from mmmm_tpu.models.segvol import SamConfig
@@ -86,7 +91,8 @@ def _tokenizer():
 
 
 def _matmul_flops(cfg, batch, s_prompt, n_new, n_vis):
-    """Analytic matmul FLOPs of prefill + decode (2*m*n*k per matmul)."""
+    """Analytic matmul FLOPs (2*m*n*k per matmul); returns
+    (prefill_flops, decode_flops) so the two stages gauge separately."""
     v = cfg.vlm
     h, i, L = v.hidden_size, v.intermediate_size, v.num_hidden_layers
     vi = v.vision
@@ -104,8 +110,46 @@ def _matmul_flops(cfg, batch, s_prompt, n_new, n_vis):
     prefill = L * s_prompt * (llm_per_tok + prefill_attn)
     s_total = s_prompt + n_new
     decode = L * n_new * (llm_per_tok + 4 * s_total * h)
-    lm_head = 2 * h * v.vocab_size * (s_prompt + n_new)
-    return batch * (vit + prefill + decode + lm_head)
+    head_prefill = 2 * h * v.vocab_size
+    head_decode = 2 * h * v.vocab_size * n_new
+    return (
+        batch * (vit + prefill + head_prefill),
+        batch * (decode + head_decode),
+    )
+
+
+def build_prefill(params, cfg):
+    """Jitted prefill-only stage (ViT + LLM forward + first-token logits) for
+    the prefill-MFU gauge (ROADMAP: prefill is the largest non-fundamental
+    serving cost; measure it in isolation)."""
+    from mmmm_tpu.models.cogvlm.decoder import llm_forward
+    from mmmm_tpu.models.cogvlm.model import splice_vision_embeds
+    from mmmm_tpu.models.cogvlm.vit import vit_forward
+    from mmmm_tpu.ops.quant import qdot
+
+    b, s = BATCH, PROMPT_LEN
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32)
+    tt = jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + N_VIS].set(1)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s)).astype(jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    image = jnp.ones((b, 3, 32, 384, 384), jnp.bfloat16)
+
+    @jax.jit
+    def prefill(p):
+        emb = p["cogvlm"]["llm"]["embed_tokens"][ids]
+        vis = vit_forward(p["cogvlm"]["vision"], cfg.vlm, image, (16, 16, 16), (2, 2, 2))
+        emb = splice_vision_embeds(emb, vis)
+        hidden = llm_forward(
+            p["cogvlm"]["llm"], cfg.vlm, emb, tt, pos, seg, vis_span=(1, 1 + N_VIS)
+        )
+        logits = qdot(hidden[:, -1], p["cogvlm"]["llm"]["lm_head"]).astype(jnp.float32)
+        return jnp.sum(logits), jnp.sum(hidden.astype(jnp.float32))
+
+    def run():
+        np.asarray(prefill(params)[0])
+
+    return run
 
 
 def build():
@@ -152,6 +196,9 @@ def build():
             # single-image layout: vision-typed tokens are exactly [1, 147),
             # so prefill uses static-span expert routing (half the FLOPs)
             vis_span=(1, 1 + N_VIS),
+            # int8 KV cache: decode is HBM-bound; per-slot-quantized caches
+            # halve the dominant read stream (ops/quant.quantize_kv)
+            kv_cache_dtype=KV_DTYPE,
         )
         # fence the mask computation with an on-device scalar reduction: the
         # axon relay fetches at ~10 MB/s, so pulling the full (B, N, D, H, W)
@@ -159,8 +206,8 @@ def build():
         np.asarray(jnp.sum(res.masks.astype(jnp.float32)))
         return res
 
-    flops = _matmul_flops(cfg, b, s, MAX_NEW_TOKENS, N_VIS)
-    return run, flops
+    flops = sum(_matmul_flops(cfg, b, s, MAX_NEW_TOKENS, N_VIS))
+    return run, flops, params, cfg
 
 
 def bench_input_pipeline(n_volumes: int = 16) -> float:
@@ -220,7 +267,7 @@ def bench_input_pipeline(n_volumes: int = 16) -> float:
 
 
 def main():
-    run, flops = build()
+    run, flops, params, cfg = build()
     # compile + warmup; NOTE: on the axon relay backend block_until_ready does
     # not actually block — generate_grounded ends in host fetches of the token
     # and mask outputs, which fence execution.
@@ -232,6 +279,16 @@ def main():
     dt = (time.time() - t0) / n_iters
     reports_per_sec = BATCH / dt
     mfu = flops / dt / V5E_PEAK_BF16
+
+    # prefill-only gauge (separate jit of the identical prefill computation)
+    prefill_flops, _ = _matmul_flops(cfg, BATCH, PROMPT_LEN, MAX_NEW_TOKENS, N_VIS)
+    prefill_run = build_prefill(params, cfg)
+    prefill_run()  # compile
+    t0 = time.time()
+    for _ in range(n_iters):
+        prefill_run()
+    prefill_dt = (time.time() - t0) / n_iters
+    prefill_mfu = prefill_flops / prefill_dt / V5E_PEAK_BF16
 
     input_rate = bench_input_pipeline()
 
@@ -251,12 +308,18 @@ def main():
                 "metric": "grounded_report_generation_throughput_6.5b",
                 "value": round(reports_per_sec, 3),
                 "unit": "reports/sec/chip",
+                # NOTE: the baseline is this repo's OWN first metric-v2 run
+                # (2.88 rep/s, round 2) — the reference publishes no numbers
+                # (BASELINE.md); this gauge tracks self-relative progress
                 "vs_baseline": round(reports_per_sec / baseline, 3),
+                "baseline_def": "self: first v2 run (BENCH_BASELINE.json)",
                 "mfu": round(mfu, 4),
+                "prefill_mfu": round(prefill_mfu, 4),
                 "input_volumes_per_sec": round(input_rate, 2),
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,
                 "new_tokens": MAX_NEW_TOKENS,
+                "kv_cache": KV_DTYPE,
                 "quantized": os.environ.get("MMMM_BENCH_QUANT", "1") != "0",
             }
         )

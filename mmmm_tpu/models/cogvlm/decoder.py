@@ -159,25 +159,56 @@ def _decoder_layer(
         ctx = _checkpoint_name(ctx, "attn_out")
         new_cache = (k, v)
     else:
-        # caches live in the decode-friendly (B, H, Smax, D) layout
-        k_cache, v_cache, write_index, kv_len = cache  # write_index/kv_len: (B,)
-        upd = jax.vmap(  # per sample: (H, Smax, D) updated at axis 1
+        # caches live in the decode-friendly (B, H, Smax, D) layout; either a
+        # (k, v) bf16 pair or an int8-quantized dict {"kq","ks","vq","vs"}
+        # (per-slot scales) — int8 halves the bandwidth-bound cache reads
+        kv_cache, write_index, kv_len = cache  # write_index/kv_len: (B,)
+        upd = jax.vmap(  # per sample: (H, Smax, ...) updated at slot axis 1
             lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
         )
-        k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
-        v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
         use_pallas = attn_impl == "pallas" or (
             attn_impl == "auto" and jax.default_backend() == "tpu"
         )
-        if use_pallas:
-            from ...ops.decode_kernel import decode_attention_pallas
+        if isinstance(kv_cache, dict):
+            from ...ops.quant import dequantize_kv, quantize_kv
 
-            ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
+            kq_new, ks_new = quantize_kv(jnp.swapaxes(k, 1, 2))  # (B, H, 1, D/1)
+            vq_new, vs_new = quantize_kv(jnp.swapaxes(v, 1, 2))
+            new_cache = {
+                "kq": upd(kv_cache["kq"], kq_new, write_index),
+                "ks": upd(kv_cache["ks"], ks_new, write_index),
+                "vq": upd(kv_cache["vq"], vq_new, write_index),
+                "vs": upd(kv_cache["vs"], vs_new, write_index),
+            }
+            if use_pallas:
+                from ...ops.decode_kernel import decode_attention_pallas_q8
+
+                ctx = decode_attention_pallas_q8(
+                    q, new_cache["kq"], new_cache["ks"],
+                    new_cache["vq"], new_cache["vs"], kv_len,
+                )
+            else:
+                smax = new_cache["kq"].shape[2]
+                valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+                ctx = decode_attention_bhsd(
+                    q,
+                    dequantize_kv(new_cache["kq"], new_cache["ks"], k.dtype),
+                    dequantize_kv(new_cache["vq"], new_cache["vs"], v.dtype),
+                    valid,
+                )
         else:
-            smax = k_cache.shape[2]
-            valid = jnp.arange(smax)[None, :] < kv_len[:, None]
-            ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
-        new_cache = (k_cache, v_cache)
+            k_cache, v_cache = kv_cache
+            k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
+            v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
+            if use_pallas:
+                from ...ops.decode_kernel import decode_attention_pallas
+
+                ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
+            else:
+                smax = k_cache.shape[2]
+                valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+                ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
+            new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
     attn_out = dual(ctx, lp["vis_dense"], lp["lang_dense"])
     x = residual + attn_out
@@ -248,7 +279,7 @@ def llm_decode_step(
     inputs_embeds: jnp.ndarray,  # (B, 1, C)
     token_type_ids: jnp.ndarray,  # (B, 2): (current, next) types for the expert quirk
     position_ids: jnp.ndarray,  # (B, 1)
-    kv_caches: list,  # per-layer [(k (B, H, Smax, D), v (B, H, Smax, D)), ...]
+    kv_caches: list,  # per-layer (k, v) bf16 pairs (B, H, Smax, D) OR int8 dicts {"kq","ks","vq","vs"}
     write_index: jnp.ndarray,  # (B,) cache slot for this token
     kv_len: jnp.ndarray,  # (B,) number of valid slots including this token
     attn_impl: str = "auto",
@@ -268,9 +299,9 @@ def llm_decode_step(
     x = inputs_embeds
 
     new_caches = []
-    for li, (k_cache, v_cache) in enumerate(kv_caches):
+    for li, layer_cache in enumerate(kv_caches):
         lp = jax.tree.map(lambda a: a[li], params["layers"])
-        x, (k_new, v_new) = _decoder_layer(
+        x, new_cache = _decoder_layer(
             x,
             lp,
             cfg=cfg,
@@ -280,9 +311,9 @@ def llm_decode_step(
             cos=cos,
             sin=sin,
             attn_impl=attn_impl,
-            cache=(k_cache, v_cache, write_index, kv_len),
+            cache=(layer_cache, write_index, kv_len),
             lang_only=True,
         )
-        new_caches.append((k_new, v_new))
+        new_caches.append(new_cache)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_caches

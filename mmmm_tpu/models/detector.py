@@ -511,3 +511,73 @@ def equalize_image(img: np.ndarray) -> np.ndarray:
     lut = (np.cumsum(hist) - hist // 2) // step
     lut = np.clip(np.concatenate([[0], lut[:-1]]), 0, 255).astype(np.uint8)
     return lut[img]
+
+
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) -> (N, M) IoU of xyxy boxes (numpy, eval-time)."""
+    import numpy as np
+
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def compute_map(
+    detections: list[dict],  # per image: {"boxes" (N,4 xyxy), "scores" (N,), "classes" (N,)}
+    ground_truths: list[dict],  # per image: {"boxes" (M,4 xyxy), "classes" (M,)}
+    num_classes: int,
+    iou_th: float = 0.5,
+) -> float:
+    """mAP@iou_th, VOC all-point interpolation (the detector-quality gauge
+    the reference gets from detrex's COCO evaluator)."""
+    import numpy as np
+
+    aps = []
+    for c in range(num_classes):
+        scores, matches, n_gt = [], [], 0
+        for det, gt in zip(detections, ground_truths):
+            gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[
+                np.asarray(gt["classes"]).reshape(-1) == c
+            ]
+            n_gt += len(gt_boxes)
+            sel = np.asarray(det["classes"]).reshape(-1) == c
+            d_boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)[sel]
+            d_scores = np.asarray(det["scores"], np.float64).reshape(-1)[sel]
+            order = np.argsort(-d_scores)
+            used = np.zeros(len(gt_boxes), bool)
+            for j in order:
+                scores.append(d_scores[j])
+                if len(gt_boxes) == 0:
+                    matches.append(False)
+                    continue
+                ious = _iou_xyxy(d_boxes[j : j + 1], gt_boxes)[0]
+                best = int(np.argmax(ious))
+                if ious[best] >= iou_th and not used[best]:
+                    used[best] = True
+                    matches.append(True)
+                else:
+                    matches.append(False)
+        if n_gt == 0:
+            continue
+        if not scores:
+            aps.append(0.0)
+            continue
+        order = np.argsort(-np.asarray(scores))
+        tp = np.asarray(matches)[order]
+        cum_tp = np.cumsum(tp)
+        recall = cum_tp / n_gt
+        precision = cum_tp / (np.arange(len(tp)) + 1)
+        # all-point interpolation
+        ap, best_p = 0.0, 0.0
+        prev_r = 1.0
+        for p, r in zip(precision[::-1], recall[::-1]):
+            best_p = max(best_p, p)
+            ap += best_p * (prev_r - r)
+            prev_r = r
+        ap += best_p * prev_r
+        aps.append(float(ap))
+    return float(np.mean(aps)) if aps else 0.0

@@ -52,6 +52,7 @@ def greedy_generate(
     pool_size=None,
     attn_impl: str = "auto",
     vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
 ) -> GenerateResult:
     b, s_prompt = input_ids.shape
     smax = s_prompt + max_new_tokens
@@ -68,17 +69,35 @@ def greedy_generate(
     )
     l, _, _, h, d = kv["k"].shape
     # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout + an
-    # unrolled layer loop keeps every update a single aliasable DUS
+    # unrolled layer loop keeps every update a single aliasable DUS.
+    # kv_cache_dtype="int8" stores per-slot-quantized caches (half the
+    # bandwidth-bound decode reads; per (b, h, slot) bf16 scales).
     k0 = jnp.swapaxes(kv["k"], 2, 3)  # (L, B, H, S_prompt, D)
     v0 = jnp.swapaxes(kv["v"], 2, 3)
-    pad = jnp.zeros((b, h, smax - s_prompt, d), kv["k"].dtype)
-    caches = [
-        (
-            jnp.concatenate([k0[li], pad], axis=2),
-            jnp.concatenate([v0[li], pad], axis=2),
-        )
-        for li in range(l)
-    ]
+    if kv_cache_dtype == "int8":
+        from ..ops.quant import quantize_kv
+
+        pad = jnp.zeros((b, h, smax - s_prompt, d), jnp.int8)
+        pad_s = jnp.zeros((b, h, smax - s_prompt, 1), jnp.bfloat16)
+        caches = []
+        for li in range(l):
+            kq, ks = quantize_kv(k0[li])
+            vq, vs = quantize_kv(v0[li])
+            caches.append({
+                "kq": jnp.concatenate([kq, pad], axis=2),
+                "ks": jnp.concatenate([ks, pad_s], axis=2),
+                "vq": jnp.concatenate([vq, pad], axis=2),
+                "vs": jnp.concatenate([vs, pad_s], axis=2),
+            })
+    else:
+        pad = jnp.zeros((b, h, smax - s_prompt, d), kv["k"].dtype)
+        caches = [
+            (
+                jnp.concatenate([k0[li], pad], axis=2),
+                jnp.concatenate([v0[li], pad], axis=2),
+            )
+            for li in range(l)
+        ]
 
     last_idx = prompt_len - 1  # (B,)
     take = lambda arr: jnp.take_along_axis(arr, last_idx[:, None, None], axis=1)[:, 0] if arr.ndim == 3 else jnp.take_along_axis(arr, last_idx[:, None], axis=1)[:, 0]

@@ -38,6 +38,7 @@ def _generate_stage(
     attn_impl: str,
     has_image: bool,
     vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
 ):
     """Jitted first stage: the full prefill + decode scan.
 
@@ -53,7 +54,7 @@ def _generate_stage(
             bop_token_id=bop_token_id, eop_token_id=eop_token_id,
             image=image if has_image else None,
             patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
-            vis_span=vis_span,
+            vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
         )
         # plain tuple: GenerateResult is not a registered pytree
         return res.tokens, res.hidden, res.prefill_hidden, res.num_generated
@@ -129,6 +130,7 @@ def generate_grounded(
     fetch_grounding: bool = True,
     force_grounding: bool = False,
     vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
 ) -> GroundedResult:
     gen = _generate_stage(
         cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
@@ -137,6 +139,7 @@ def generate_grounded(
         tuple(pool_size) if pool_size is not None else None,
         attn_impl, image is not None,
         tuple(vis_span) if vis_span is not None else None,
+        kv_cache_dtype,
     )
     res = gen(params, input_ids, token_type_ids, position_ids, prompt_len, image)
     tokens = np.asarray(res.tokens)

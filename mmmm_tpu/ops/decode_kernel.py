@@ -42,6 +42,68 @@ def _decode_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.stack(outs).astype(o_ref.dtype)  # (H, D) single store
 
 
+def _decode_kernel_q8(klen_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *, scale: float):
+    """Int8-KV variant: K/V stream from HBM as int8 + per-slot bf16 scales
+    (half the cache bytes of bf16 — decode is bandwidth-bound, so ~2x at
+    long S). logits = (q . k_q) * k_s; out = sum (p * v_s) * v_q.
+
+    Grid is (B, H) with per-head K/V blocks: an unrolled in-kernel head loop
+    holds every head's f32 temporaries on the scoped-vmem stack at once and
+    overflows the 16 MB limit at serving batch sizes. q/o carry a singleton
+    slot dim — (B, H, 1, D) with (1, 1, 1, D) blocks — so every block's last
+    two dims equal the array dims (Mosaic rule) and no dynamic head indexing
+    is needed (dynamic sublane indices must be provably 8-aligned)."""
+    _, _, smax, head_dim = kq_ref.shape
+    klen = klen_ref[pl.program_id(0)]
+    slot = lax.broadcasted_iota(jnp.int32, (smax, 1), 0)
+    valid = slot < klen
+    q = q_ref[0, 0, 0].astype(jnp.float32)  # (D,)
+    kq = kq_ref[0, 0].astype(jnp.float32)  # (S, D) int8 -> f32 in VMEM
+    ks = ks_ref[0, 0].astype(jnp.float32)  # (S, 1)
+    s = jnp.sum(kq * q[None, :], axis=-1, keepdims=True) * ks * scale  # (S, 1)
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    p = jnp.where(valid, p, 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+    w = (p / denom) * vs_ref[0, 0].astype(jnp.float32)  # (S, 1)
+    o_ref[0, 0, 0] = jnp.sum(vq_ref[0, 0].astype(jnp.float32) * w, axis=0).astype(o_ref.dtype)
+
+
+def decode_attention_pallas_q8(
+    q: jnp.ndarray,  # (B, 1, H, D)
+    k_q: jnp.ndarray,  # (B, H, S, D) int8
+    k_s: jnp.ndarray,  # (B, H, S, 1) bf16 scales
+    v_q: jnp.ndarray,  # (B, H, S, D) int8
+    v_s: jnp.ndarray,  # (B, H, S, 1)
+    kv_len: jnp.ndarray,  # (B,)
+    *,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Int8-KV-cache decode attention; contract matches ``decode_attention_pallas``."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, _, h, d = q.shape
+    smax = k_q.shape[2]
+    qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8, scale=scale),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, smax, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, smax, 1), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(kv_len.astype(jnp.int32), qh, k_q, k_s, v_q, v_s)
+    return out.reshape(b, 1, h, d)
+
+
 def decode_attention_pallas(
     q: jnp.ndarray,  # (B, 1, H, D)
     k_cache: jnp.ndarray,  # (B, H, S, D)

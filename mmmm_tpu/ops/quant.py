@@ -57,6 +57,22 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     return y * jnp.squeeze(w["s"], axis=-2).astype(y.dtype)
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slot symmetric int8 over the head dim: (..., D) -> (int8 (..., D),
+    bf16 scale (..., 1)). Decode is HBM-bound on cache reads at long S; int8
+    KV halves that traffic (the ROADMAP 'next 2x at long S' lever). One scale
+    per (batch, head, slot) keeps the quantization error per-token local."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def dequantize_kv(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * s.astype(jnp.float32)).astype(dtype)
+
+
 _LLM_QUANT_KEYS = (
     "lang_qkv", "lang_dense", "vis_qkv", "vis_dense",
 )

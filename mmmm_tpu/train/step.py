@@ -199,12 +199,15 @@ def make_train_step(
 
     def run_sharded(state, frozen, batch):
         arrays, patch, pool = split_batch(batch)
+        # trainable masters + optimizer moments FSDP-shard over data on top
+        # of TP (ZeRO-1/2/3): at 17 B the replicated fp32 ft tree + 2 adam
+        # moments are ~6.7 GiB/device otherwise — the HBM margin
         state = _place(
             state,
             TrainState(
                 param_shardings(state.step, mesh),
-                param_shardings(state.trainable, mesh),
-                param_shardings(state.opt_state, mesh),
+                fsdp_shardings(state.trainable, mesh),
+                fsdp_shardings(state.opt_state, mesh),
             ),
         )
         if placed_frozen.get("id") != id(frozen):
@@ -269,8 +272,8 @@ def lower_train_step(
 
     state_sds = TrainState(
         with_sharding(state_a.step, param_shardings(state_a.step, mesh)),
-        with_sharding(state_a.trainable, param_shardings(state_a.trainable, mesh)),
-        with_sharding(state_a.opt_state, param_shardings(state_a.opt_state, mesh)),
+        with_sharding(state_a.trainable, fsdp_shardings(state_a.trainable, mesh)),
+        with_sharding(state_a.opt_state, fsdp_shardings(state_a.opt_state, mesh)),
     )
     frozen_sds = with_sharding(frozen_a, fsdp_shardings(frozen_a, mesh))
     arrays, patch, pool = split_batch(batch)

@@ -78,6 +78,7 @@ def process_study(study: dict, image_root: Path | None, save_dir: Path) -> dict 
 
     study = dict(study)
     new_paths = []
+    shapes: list[list[int] | None] = []
     for i, image_path in enumerate(study["image"]):
         src = Path(image_path)
         if image_root is not None and not src.is_absolute():
@@ -88,6 +89,7 @@ def process_study(study: dict, image_root: Path | None, save_dir: Path) -> dict 
         if "modality" in study and study["modality"][i] == "X-Ray":
             study["modality"][i] = "X-ray"  # normalize (ref compress step)
         if save_path.exists() or not src.exists():
+            shapes.append(None)
             continue
         image = crop_resize(_load_any(src))
         if image is None:
@@ -96,7 +98,12 @@ def process_study(study: dict, image_root: Path | None, save_dir: Path) -> dict 
         tmp = save_path.with_name("." + save_path.name)
         save_pt_zst(image, tmp)
         tmp.rename(save_path)
+        shapes.append(list(image.shape))
     study["image"] = new_paths
+    # per-image shapes: lets the multi-host plan pass (vl.probe_image_shape)
+    # compute bucket keys without zstd-decoding the tensor
+    if any(s is not None for s in shapes):
+        study["shape"] = shapes
     return study
 
 

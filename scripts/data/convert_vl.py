@@ -24,6 +24,8 @@ import sys
 from collections import defaultdict
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).parent.parent.parent))
 
 
@@ -237,13 +239,54 @@ def convert_ct_rate(dataset_dir: Path, out_dir: Path, split: str,
     print(f"{split}: {len(data)} studies")
 
 
+def label_reports(dataset_dir: Path, split: str, chexbert_ckpt: Path | None = None,
+                  labeler=None) -> Path:
+    """Anomaly-label a converted dataset's reports (ref ``scripts/data/vl/
+    label.py:17-104``: the reference labels VL training reports with the
+    CheXbert MODEL). With ``chexbert_ckpt`` (or an injected ``labeler``) the
+    real ``eval.models.ChexbertLabeler`` runs; otherwise the keyword labeler
+    is the flagged fallback. Writes ``anomaly_pos/anomaly_neg`` (+ a
+    ``labeler`` provenance field) in place and returns the json path."""
+    from mmmm_tpu.eval.cxr import CHEXPERT_CONDITIONS, KeywordChexpertLabeler
+
+    if labeler is not None:
+        name = getattr(labeler, "name", "custom")
+    elif chexbert_ckpt is not None:
+        from mmmm_tpu.eval.models import ChexbertLabeler
+
+        model = ChexbertLabeler(chexbert_ckpt)
+        labeler, name = model.label, "chexbert"
+    else:
+        labeler, name = KeywordChexpertLabeler(), "keyword"
+
+    path = dataset_dir / f"{split}.json"
+    data = json.loads(path.read_text())
+    for item in data:
+        report = item.get("processed_report") or "\n".join(
+            filter(None, [item.get("findings"), item.get("impression")])
+        )
+        labels = np.asarray(labeler(report))
+        # condition list ends with "No Finding" — excluded from pos/neg sets
+        item["anomaly_pos"] = [
+            c for c, l in zip(CHEXPERT_CONDITIONS[:-1], labels[:-1]) if l
+        ]
+        item["anomaly_neg"] = [
+            c for c, l in zip(CHEXPERT_CONDITIONS[:-1], labels[:-1]) if not l
+        ][:4]
+        item["labeler"] = name
+    path.write_text(json.dumps(data, indent=1))
+    print(f"{split}: labeled {len(data)} reports with {name}")
+    return path
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--format",
-        choices=["vqa-json", "report-folder", "mimic-cxr", "ct-rate"],
+        choices=["vqa-json", "report-folder", "mimic-cxr", "ct-rate", "label"],
         required=True,
     )
+    parser.add_argument("--chexbert-ckpt", help="CheXbert checkpoint for --format label")
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True, help="output dataset dir")
     parser.add_argument("--image-field", default="image_name")
@@ -274,6 +317,11 @@ def main(argv=None):
         convert_ct_rate(
             src, out, args.split,
             metadata_csv=Path(args.metadata_csv) if args.metadata_csv else None,
+        )
+    elif args.format == "label":
+        label_reports(
+            src, args.split,
+            chexbert_ckpt=Path(args.chexbert_ckpt) if args.chexbert_ckpt else None,
         )
     else:
         convert_report_folder(src, out, args.split)

@@ -107,6 +107,29 @@ def cmd_train(args):
         params, opt_state, loss = step(params, opt_state, images, gb, gc, gv)
         if it % args.log_every == 0:
             print(f"[{it}] loss={float(loss):.4f}", flush=True)
+
+    # mAP@0.5 on a held-out tail (the detrex COCO-eval analog); logged so
+    # pseudo-label quality is a tracked number, not a hope
+    if args.eval_frac > 0:
+        from mmmm_tpu.models.detector import (
+            box_cxcywh_to_xyxy, compute_map, detector_forward,
+        )
+
+        n_eval = max(1, int(len(case_dirs) * args.eval_frac))
+        fwd = jax.jit(lambda img: detector_forward(params, cfg, img))
+        dets, gts = [], []
+        for case in case_dirs[-n_eval:]:
+            img, gb, gc, gv = _load_case(case, cfg.image_size, class_to_idx, cfg.max_gt)
+            out = fwd(jnp.asarray(img[None]))
+            prob = 1 / (1 + np.exp(-np.asarray(out["class_logits"][0], np.float64)))
+            xyxy = np.clip(np.asarray(box_cxcywh_to_xyxy(out["boxes"][0])), 0, 1)
+            cls = prob.argmax(-1)
+            dets.append({"boxes": xyxy, "scores": prob.max(-1), "classes": cls})
+            gt_xyxy = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(gb)))[gv.astype(bool)]
+            gts.append({"boxes": gt_xyxy, "classes": gc[gv.astype(bool)]})
+        ap = compute_map(dets, gts, cfg.num_classes)
+        print(f"mAP@0.5 (held-out {n_eval}) = {ap:.4f}", flush=True)
+
     cli_cfg = {k: v for k, v in vars(args).items() if isinstance(v, (int, float, str, bool))}
     save_params(Path(args.out), {"params": params, "cfg": cli_cfg})
     print(f"saved detector to {args.out}")
@@ -183,6 +206,8 @@ def main(argv=None):
     t.add_argument("--lr", type=float, default=2e-4)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--eval-frac", type=float, default=0.1,
+                   help="held-out tail fraction for the mAP@0.5 gauge")
     t.set_defaults(func=cmd_train)
     i = sub.add_parser("infer")
     i.add_argument("--ckpt", required=True)

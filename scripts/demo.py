@@ -54,6 +54,10 @@ def main(argv=None):
         help="W8A16 int8 serving quantization of the LLM (~2x decode)",
     )
     parser.add_argument(
+        "--kv-cache", default="bf16", choices=("bf16", "int8"),
+        help="KV cache dtype; int8 halves decode cache bandwidth at long S",
+    )
+    parser.add_argument(
         "--interactive", action="store_true",
         help="multi-turn conversation: read follow-up questions from stdin "
              "(the reference demo's history loop, scripts/demo.py:22-76)",
@@ -90,6 +94,7 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             grounding_image=jnp.asarray(grounding_image)[None],
             instance=args.instance,
+            kv_cache_dtype=args.kv_cache,
         )
         print("=== generated ===")
         print(res.text[0])

@@ -183,6 +183,18 @@ def cmd_evaluate(args):
         suite.update(ct.compute(predictions, references=references))
         suite["radbert_model_backed"] = float("radbert" in hooks)
     if args.suite in ("cxr", "all"):
+        # RadGraph-F1 column: official radgraph package > precomputed
+        # annotations > taxonomy heuristic (provenance flagged in the output)
+        from mmmm_tpu.eval.radgraph import radgraph_f1
+
+        pre = {}
+        if args.radgraph_annotations:
+            ann = json.loads(Path(args.radgraph_annotations).read_text())
+            pre = {"hyp_annotations": ann["hyp"], "ref_annotations": ann["ref"]}
+        rg = radgraph_f1(predictions, references, **pre)
+        columns["radgraph"] = rg["radgraph"]
+        suite["radgraph_f1"] = rg["radgraph_mean"]
+        suite["radgraph_annotator"] = rg["annotator"]
         # RadCliQ composite over [radgraph, bertscore, chexbert, bleu2];
         # missing model-backed columns are zero-filled and the run is flagged.
         missing = [c for c in RADCLIQ_COLUMNS if c not in columns]
@@ -193,7 +205,7 @@ def cmd_evaluate(args):
             suite[k] = sum(v) / len(v) if v else 0.0
         if missing:
             suite["radcliq_missing_columns"] = float(len(missing))
-    out = {k: round(v, 4) for k, v in suite.items()}
+    out = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in suite.items()}
     print(json.dumps(out, indent=2))
     if args.output:
         Path(args.output).write_text(json.dumps(out, indent=2))
@@ -242,6 +254,8 @@ def main(argv=None):
     e.add_argument("--radbert-tokenizer", help="local RadBERT tokenizer dir")
     e.add_argument("--bertscore-model", help="local HF encoder dir for BERTScore")
     e.add_argument("--radcliq-dir", help="dir with normalizer.pkl + composite_metric_v{0,1}.pkl")
+    e.add_argument("--radgraph-annotations",
+                   help='offline RadGraph-model annotations JSON {"hyp": [...], "ref": [...]}')
     e.set_defaults(func=cmd_evaluate)
     args = parser.parse_args(argv)
     args.func(args)

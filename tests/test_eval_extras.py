@@ -108,3 +108,35 @@ def test_convert_report_folder(tmp_path):
     assert len(items) == 1
     assert "Pleural Effusion" in items[0]["anomaly_pos"]
     assert items[0]["processed_report"].startswith("Findings:")
+
+
+def test_radgraph_heuristic_annotator_and_f1():
+    """RadGraph annotator (VERDICT r2 missing #3): entities with DP/DA
+    negation labels + located_at relations, reward contract shared with
+    eval.composite.radgraph_reward."""
+    from mmmm_tpu.eval.radgraph import (
+        HeuristicRadGraphAnnotator, build_annotator, radgraph_f1,
+    )
+
+    ann = HeuristicRadGraphAnnotator()
+    report = "There is a nodule in the left lung . No pleural effusion ."
+    (out,) = ann.annotate([report])
+    ents = out["entities"].values()
+    by_text = {e["tokens"].lower(): e for e in ents}
+    assert by_text["nodule"]["label"] == "OBS-DP"
+    assert by_text["pleural effusion"]["label"] == "OBS-DA"  # negated
+    assert by_text["left lung"]["label"] == "ANAT-DP"
+    # the nodule observation relates to the nearby anatomy
+    assert by_text["nodule"]["relations"], by_text["nodule"]
+
+    # identical reports -> F1 == 1; disjoint findings -> 0
+    r = radgraph_f1([report], [report])
+    assert r["radgraph_mean"] == 1.0 and r["annotator"] == "heuristic"
+    r2 = radgraph_f1(["There is cardiomegaly ."], ["Pneumothorax is seen ."])
+    assert r2["radgraph_mean"] == 0.0
+
+    # precomputed annotations path
+    h = ann.annotate([report])
+    r3 = radgraph_f1([report], [report], hyp_annotations=h, ref_annotations=h)
+    assert r3["radgraph_mean"] == 1.0 and r3["annotator"] == "precomputed"
+    assert build_annotator().source == "heuristic"  # no radgraph pkg here

@@ -1,0 +1,151 @@
+"""Baseline finetuning harnesses (instructblip / llavanext) on tiny
+random-init HF models — the reference's per-baseline finetune datamodules
+(``scripts/finetune/cli.py:11-64``) re-done HF-native."""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts" / "finetune"))
+
+from baselines import (  # noqa: E402
+    CE_IGNORE_INDEX,
+    finetune_torch_model,
+    instructblip_example,
+    iter_vqa_items,
+    llavanext_example,
+)
+
+
+def _word_tokenizer():
+    from tokenizers import Tokenizer, models as tkm, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(tkm.WordLevel(
+        {**{f"tok{i}": i for i in range(289)}, "[UNK]": 289}, unk_token="[UNK]"
+    ))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    htok = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="[UNK]", pad_token="[UNK]",
+        bos_token="tok0", eos_token="tok1",
+    )
+    htok.add_tokens(["<image>"], special_tokens=True)
+    return htok
+
+
+@pytest.fixture(scope="module")
+def tiny_instructblip():
+    from transformers import (
+        BlipImageProcessor,
+        InstructBlipConfig,
+        InstructBlipForConditionalGeneration,
+        InstructBlipProcessor,
+    )
+
+    htok = _word_tokenizer()
+    img_id = htok.convert_tokens_to_ids("<image>")
+    cfg = InstructBlipConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=32, patch_size=16),
+        qformer_config=dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=64, encoder_hidden_size=32, vocab_size=300),
+        text_config=dict(model_type="opt", hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+                         num_attention_heads=4, vocab_size=300,
+                         max_position_embeddings=128, word_embed_proj_dim=32),
+        num_query_tokens=4, image_token_index=img_id,
+    )
+    model = InstructBlipForConditionalGeneration(cfg)
+    proc = InstructBlipProcessor(
+        image_processor=BlipImageProcessor(size={"height": 32, "width": 32}),
+        tokenizer=htok, qformer_tokenizer=htok, num_query_tokens=4,
+    )
+    return model, proc
+
+
+@pytest.fixture(scope="module")
+def tiny_llavanext():
+    from transformers import (
+        LlavaNextConfig,
+        LlavaNextForConditionalGeneration,
+        LlavaNextImageProcessor,
+        LlavaNextProcessor,
+    )
+
+    htok = _word_tokenizer()
+    img_id = htok.convert_tokens_to_ids("<image>")
+    pin = [[32, 32], [32, 64], [64, 32]]
+    cfg = LlavaNextConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=32, patch_size=16, vocab_size=10),
+        text_config=dict(model_type="llama", hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+                         vocab_size=300, max_position_embeddings=512),
+        image_token_index=img_id, image_grid_pinpoints=pin,
+        vision_feature_select_strategy="default",
+    )
+    model = LlavaNextForConditionalGeneration(cfg)
+    proc = LlavaNextProcessor(
+        image_processor=LlavaNextImageProcessor(
+            size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32},
+            image_grid_pinpoints=pin,
+        ),
+        tokenizer=htok, patch_size=16, vision_feature_select_strategy="default",
+        image_token="<image>", num_additional_image_tokens=1,
+    )
+    return model, proc
+
+
+def _image():
+    from PIL import Image
+
+    return Image.fromarray(np.zeros((40, 48, 3), np.uint8))
+
+
+def test_instructblip_example_masks_prompt(tiny_instructblip):
+    _, proc = tiny_instructblip
+    inputs = instructblip_example(proc, _image(), "tok3 tok4 ?", "tok5 tok6")
+    labels = inputs["labels"][0].numpy()
+    n_ans = len(proc.tokenizer("tok5 tok6", add_special_tokens=False)["input_ids"])
+    assert (labels[:-n_ans] == CE_IGNORE_INDEX).all()
+    assert (labels[-n_ans:] != CE_IGNORE_INDEX).all()
+    assert "qformer_input_ids" in inputs
+
+
+def test_llavanext_example_masks_prompt_and_image(tiny_llavanext):
+    _, proc = tiny_llavanext
+    inputs = llavanext_example(proc, _image(), "tok3 ?", "tok7")
+    labels = inputs["labels"][0].numpy()
+    ids = inputs["input_ids"][0].numpy()
+    img_id = proc.tokenizer.convert_tokens_to_ids("<image>")
+    assert (ids == img_id).sum() > 1  # placeholder expanded
+    assert (labels[ids == img_id] == CE_IGNORE_INDEX).all()
+    assert labels[-1] != CE_IGNORE_INDEX
+
+
+@pytest.mark.parametrize("which", ["instructblip", "llavanext"])
+def test_finetune_loop_loss_decreases(which, tiny_instructblip, tiny_llavanext, tmp_path):
+    model, proc = tiny_instructblip if which == "instructblip" else tiny_llavanext
+    builder = instructblip_example if which == "instructblip" else llavanext_example
+    examples = [(_image(), "tok3 tok4 ?", "tok5 tok6")] * 4
+    losses = finetune_torch_model(
+        model, proc, examples, builder,
+        steps=24, lr=5e-3, grad_accum=2, log_every=4, train_all=False,
+    )
+    assert losses[-1] < losses[0], losses
+    # vision tower stayed frozen
+    vt = [p for n, p in model.named_parameters() if "vision" in n and p.requires_grad]
+    assert not vt
+
+
+def test_iter_vqa_items_contract(tmp_path):
+    items = [
+        {"key": "a", "image": ["img.png"],
+         "vqa": [{"question": "q1", "answer": "a1"}, {"question": "q2", "answer": "a2"}]},
+        {"key": "b", "image": ["img2.png"], "processed_report": "All clear."},
+    ]
+    (tmp_path / "train.json").write_text(json.dumps(items))
+    got = list(iter_vqa_items(tmp_path))
+    assert len(got) == 3
+    assert got[2][2] == "All clear."

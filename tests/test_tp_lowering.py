@@ -85,8 +85,8 @@ def test_17b_train_step_lowers_under_tp_and_fits_v5e():
     # optimizer (2 adam moments mirror trainable shardings)
     state_a, frozen_a = abstract_train_state(model, opt, lcfg)
     frozen_b = bytes_per_device(frozen_a, fsdp_shardings(frozen_a, mesh))
-    train_b = bytes_per_device(state_a.trainable, param_shardings(state_a.trainable, mesh))
-    opt_b = bytes_per_device(state_a.opt_state, param_shardings(state_a.opt_state, mesh))
+    train_b = bytes_per_device(state_a.trainable, fsdp_shardings(state_a.trainable, mesh))
+    opt_b = bytes_per_device(state_a.opt_state, fsdp_shardings(state_a.opt_state, mesh))
     total = frozen_b + train_b + opt_b
     n_params = sum(
         int(np.prod(l.shape, dtype=np.int64))
@@ -122,7 +122,7 @@ def test_17b_serving_forward_lowers_under_tp():
         lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
         params_a, shardings,
     )
-    b, s = 1, 1024
+    b, s = 2, 1024  # batch divides the data axis
     batch_sds = {
         "input_ids": _sds((b, s), np.int32, mesh),
         "token_type_ids": _sds((b, s), np.int32, mesh),
