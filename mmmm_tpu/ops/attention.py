@@ -134,7 +134,15 @@ def segment_attention(
                 )
         impl = "auto"
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # flash wins where its streaming pays: causal masks (skip half the
+        # blocks) or 128-multiple head dims. Bidirectional attention with a
+        # padded head dim (EVA ViT: 88 -> 128 lanes, SAM encoder: 64) runs
+        # faster as plain XLA batched matmuls — measured on-chip at bench
+        # shapes: ViT 559 ms (xla) vs 714 ms (flash) per 16-image prefill.
+        use_pallas = jax.default_backend() == "tpu" and (
+            causal or q.shape[-1] % 128 == 0
+        )
+        impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from .flash import flash_segment_attention
 

@@ -47,27 +47,29 @@ def _decode_kernel_q8(klen_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *,
     (half the cache bytes of bf16 — decode is bandwidth-bound, so ~2x at
     long S). logits = (q . k_q) * k_s; out = sum (p * v_s) * v_q.
 
-    Grid is (B, H) with per-head K/V blocks: an unrolled in-kernel head loop
-    holds every head's f32 temporaries on the scoped-vmem stack at once and
-    overflows the 16 MB limit at serving batch sizes. q/o carry a singleton
-    slot dim — (B, H, 1, D) with (1, 1, 1, D) blocks — so every block's last
-    two dims equal the array dims (Mosaic rule) and no dynamic head indexing
-    is needed (dynamic sublane indices must be provably 8-aligned)."""
-    _, _, smax, head_dim = kq_ref.shape
+    Grid is (B, H / head_chunk) with chunked K/V blocks: a fully-unrolled
+    32-head loop holds every head's f32 temporaries on the scoped-vmem stack
+    at once (overflows the 16 MB limit at serving batch sizes), while a
+    per-head grid pays dispatch/pipelining overhead 32x per sample — 8-head
+    chunks sit in between. q/o carry a singleton slot dim so every block's
+    last two dims equal the array dims (Mosaic rule; no dynamic sublane
+    indexing)."""
+    _, chunk, smax, head_dim = kq_ref.shape
     klen = klen_ref[pl.program_id(0)]
     slot = lax.broadcasted_iota(jnp.int32, (smax, 1), 0)
     valid = slot < klen
-    q = q_ref[0, 0, 0].astype(jnp.float32)  # (D,)
-    kq = kq_ref[0, 0].astype(jnp.float32)  # (S, D) int8 -> f32 in VMEM
-    ks = ks_ref[0, 0].astype(jnp.float32)  # (S, 1)
-    s = jnp.sum(kq * q[None, :], axis=-1, keepdims=True) * ks * scale  # (S, 1)
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=0, keepdims=True)
-    p = jnp.exp(s - m)
-    p = jnp.where(valid, p, 0.0)
-    denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
-    w = (p / denom) * vs_ref[0, 0].astype(jnp.float32)  # (S, 1)
-    o_ref[0, 0, 0] = jnp.sum(vq_ref[0, 0].astype(jnp.float32) * w, axis=0).astype(o_ref.dtype)
+    for h in range(chunk):
+        q = q_ref[0, h, 0].astype(jnp.float32)  # (D,)
+        kq = kq_ref[0, h].astype(jnp.float32)  # (S, D) int8 -> f32 in VMEM
+        ks = ks_ref[0, h].astype(jnp.float32)  # (S, 1)
+        s = jnp.sum(kq * q[None, :], axis=-1, keepdims=True) * ks * scale  # (S, 1)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(valid, p, 0.0)
+        denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+        w = (p / denom) * vs_ref[0, h].astype(jnp.float32)  # (S, 1)
+        o_ref[0, h, 0] = jnp.sum(vq_ref[0, h].astype(jnp.float32) * w, axis=0).astype(o_ref.dtype)
 
 
 def decode_attention_pallas_q8(
@@ -85,19 +87,20 @@ def decode_attention_pallas_q8(
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_q.shape[2]
+    chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
     qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q8, scale=scale),
-        grid=(b, h),
+        grid=(b, h // chunk),
         in_specs=[
             pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, smax, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, smax, 1), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, smax, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, smax, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, 1, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, 1), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, chunk, 1, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         interpret=jax.default_backend() != "tpu",
     )(kv_len.astype(jnp.int32), qh, k_q, k_s, v_q, v_s)

@@ -88,8 +88,13 @@ def process_study(study: dict, image_root: Path | None, save_dir: Path) -> dict 
         new_paths.append(str(save_path))
         if "modality" in study and study["modality"][i] == "X-Ray":
             study["modality"][i] = "X-ray"  # normalize (ref compress step)
+        shape_path = save_path.with_suffix("").with_suffix(".shape.json")
         if save_path.exists() or not src.exists():
-            shapes.append(None)
+            # resume: recover the shape from the sidecar so re-runs emit
+            # identical metadata without re-decoding the tensor
+            shapes.append(
+                json.loads(shape_path.read_text()) if shape_path.exists() else None
+            )
             continue
         image = crop_resize(_load_any(src))
         if image is None:
@@ -98,6 +103,7 @@ def process_study(study: dict, image_root: Path | None, save_dir: Path) -> dict 
         tmp = save_path.with_name("." + save_path.name)
         save_pt_zst(image, tmp)
         tmp.rename(save_path)
+        shape_path.write_text(json.dumps(list(image.shape)))
         shapes.append(list(image.shape))
     study["image"] = new_paths
     # per-image shapes: lets the multi-host plan pass (vl.probe_image_shape)

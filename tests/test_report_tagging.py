@@ -50,7 +50,7 @@ def test_taxonomy_tagger():
     tags = TaxonomyTagger(tax).tag(report)
     verify_tags(report, tags)
     targets = [t["target"] for t in tags]
-    assert "nodule" in targets
+    assert "lung nodule" in targets
     assert "left lung" in targets
     # negated finding excluded in positives-only mode
     assert "pleural effusion" not in targets
