@@ -59,11 +59,24 @@ def init_train_state(
     optimizer,
     lora_cfg: LoraConfig,
     dtype=jnp.float32,
+    frozen_vlm_bf16: bool = False,
 ) -> tuple[TrainState, dict]:
-    """Returns (state, frozen_params)."""
+    """Returns (state, frozen_params).
+
+    ``frozen_vlm_bf16`` stores the frozen CogVLM base directly in bf16:
+    the precision policy computes the VLM in bf16 anyway (``MyPrecision``,
+    ``mmmm.py:468-492``), so a frozen fp32 master is pure HBM (half the
+    base-model bytes + an in-graph cast copy per step). fp32 masters remain
+    for everything trainable and for frozen SAM subtrees (fp32-policy)."""
     params = model.init(key, dtype)
     lora = lora_init(jax.random.fold_in(key, 1), params, lora_cfg)
     ft, frozen = split_trainable(params)
+    if frozen_vlm_bf16 and "cogvlm" in frozen:
+        frozen = dict(frozen)
+        frozen["cogvlm"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            frozen["cogvlm"],
+        )
     trainable = {"lora": lora, "ft": ft}
     opt_state = optimizer.init(trainable)
     return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen

@@ -40,6 +40,9 @@ class TrainerConfig:
     mesh_seq: int = 1  # sequence-parallel (ring attention) degree
     mesh_data: int | None = None  # data-parallel degree; None = auto
     bf16_vlm: bool = True
+    # store the frozen CogVLM base directly in bf16 (the compute dtype under
+    # bf16_vlm): halves base-model HBM + removes the per-step cast copy
+    frozen_vlm_bf16: bool = True
     remat: bool = True
     attn_impl: str = "auto"
     keep_ckpts: int | None = None
@@ -121,7 +124,8 @@ class Trainer:
     def fit(self, resume: bool = True) -> TrainState:
         cfg = self.cfg
         state, frozen = init_train_state(
-            jax.random.PRNGKey(cfg.seed), self.model, self.optimizer, self.lora_cfg
+            jax.random.PRNGKey(cfg.seed), self.model, self.optimizer, self.lora_cfg,
+            frozen_vlm_bf16=cfg.frozen_vlm_bf16 and cfg.bf16_vlm,
         )
 
         def _save_tree(s):

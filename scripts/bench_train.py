@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Training-throughput gauge: tokens/sec + MFU for the LoRA train step.
+
+Serving has ``bench.py``; this measures the TRAINING side on one chip — the
+~1.4 B single-chip config (``__graft_entry__`` shape: frozen bf16 base +
+LoRA + SAM heads unfrozen is the phase-vg recipe) with the fused blockwise
+CE and a selectable remat policy.
+
+    python scripts/bench_train.py [--remat attn|full|none] [--batch 8]
+        [--seq 1024] [--steps 5]
+
+Prints one JSON line {"metric": "train_tokens_per_sec_1.4b", ...}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remat", default="attn", choices=["attn", "full", "none"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--vis", type=int, default=146)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmmm_tpu.models import MMMMConfig, MMMMModel
+    from mmmm_tpu.models.cogvlm import CogVLMConfig, VisionConfig
+    from mmmm_tpu.models.segvol import SamConfig
+    from mmmm_tpu.peft import LoraConfig
+    from mmmm_tpu.train import OptimizerConfig, init_train_state, make_optimizer, make_train_step
+
+    cfg = MMMMConfig(
+        vlm=CogVLMConfig(
+            vocab_size=32008, hidden_size=2048, intermediate_size=5504,
+            num_hidden_layers=12, num_attention_heads=16,
+            vision=VisionConfig(
+                hidden_size=1024, intermediate_size=4096, num_hidden_layers=12,
+                num_heads=16, patch_size=(16, 16, 16), pos_embed_shape=(8, 32, 32),
+            ),
+        ),
+        sam=SamConfig(),
+    )
+    model = MMMMModel(cfg)
+    opt = make_optimizer(OptimizerConfig(lr=5e-5, warmup_steps=10, max_steps=1000))
+    lcfg = LoraConfig(r=64, alpha=8)
+    state, frozen = init_train_state(
+        jax.random.PRNGKey(0), model, opt, lcfg, frozen_vlm_bf16=True
+    )
+    remat = {"attn": "attn", "full": True, "none": False}[args.remat]
+    step = make_train_step(
+        model, opt, lcfg, vg_mode="none", bf16_vlm=True, attn_impl="auto",
+        remat=remat,
+    )
+
+    b, s, nv = args.batch, args.seq, args.vis
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32),
+        "token_type_ids": jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + nv].set(1),
+        "position_ids": jnp.broadcast_to(jnp.arange(s), (b, s)).astype(jnp.int32),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.full((b, s), -100, jnp.int32).at[:, nv + 2 :].set(7),
+        "weight": jnp.ones((b, s), jnp.float32),
+        # phase-vg vision budget: 144 tokens = (1, 12, 12) post-pool grid
+        # (max_vision_tokens=144, BASELINE.md) — a (16, 384, 384) volume at
+        # patch 16 / pool (1, 2, 2)
+        "image": jnp.ones((b, 3, 16, 384, 384), jnp.float32),
+        "patch_size": (16, 16, 16),
+        "pool_size": (1, 2, 2),
+    }
+
+    state, logs = step(state, frozen, batch)  # compile + warm
+    np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, logs = step(state, frozen, batch)
+    np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))  # fence (relay: block_until_ready lies)
+    dt = (time.time() - t0) / args.steps
+
+    v = cfg.vlm
+    # fwd+bwd matmul FLOPs = 3x fwd (bwd has two matmuls per fwd matmul)
+    llm_tok = 8 * v.hidden_size**2 + 6 * v.hidden_size * v.intermediate_size
+    vi = v.vision
+    t_vit = 24 * 24 + 1
+    vit = vi.num_hidden_layers * t_vit * (
+        8 * vi.hidden_size**2 + 4 * vi.hidden_size * vi.intermediate_size
+        + 4 * t_vit * vi.hidden_size
+    )
+    fwd = b * (
+        v.num_hidden_layers * s * (llm_tok + 4 * s * v.hidden_size)
+        + vit + 2 * v.hidden_size * v.vocab_size * s
+    )
+    flops = 3 * fwd
+    tok_s = b * s / dt
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_1.4b",
+        "value": round(tok_s, 1),
+        "unit": "tokens/sec/chip",
+        "step_ms": round(dt * 1e3, 1),
+        "mfu": round(flops / dt / 197e12, 4),
+        "remat": args.remat,
+        "batch": b, "seq": s,
+        "loss": float(np.asarray(logs.get("loss", logs["lm_loss"]))),
+    }))
+
+
+if __name__ == "__main__":
+    main()
