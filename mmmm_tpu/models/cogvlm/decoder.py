@@ -273,6 +273,78 @@ def llm_forward(
     return x
 
 
+def llm_prefill(
+    params: dict,
+    cfg: CogVLMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, C)
+    token_type_ids: jnp.ndarray,  # (B, S)
+    position_ids: jnp.ndarray,  # (B, S)
+    segments: jnp.ndarray,  # (B, S)
+    *,
+    smax: int,
+    attn_impl: str = "auto",
+    vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
+):
+    """Full-sequence prefill writing each layer's rotated K/V straight into a
+    preallocated (B, H, Smax, D) decode cache.
+
+    ``llm_forward(return_kv=True)`` stacks all layers' K/V as (L, B, S, H, D)
+    and the caller then transposes + pad-concats into per-layer caches — three
+    full-size HBM transients alive at once, which (with the ViT activation
+    peak) set the serving batch ceiling. Unrolling the layer loop — exactly
+    like ``llm_decode_step`` — keeps the peak at ONE layer's K/V and lets XLA
+    fuse the cache write into the layer computation.
+
+    Returns (hidden (B, S, C) after final norm, per-layer cache list in the
+    same format ``llm_decode_step`` consumes: (k, v) bf16 pairs or int8 dicts).
+    """
+    b, s, _ = inputs_embeds.shape
+    h, d = cfg.num_attention_heads, cfg.head_dim
+    vis_mask = vision_expert_mask(token_type_ids)
+    cos, sin = rope_cos_sin(cfg.max_position_embeddings, cfg.head_dim)
+    expert_span = None
+    if vis_span is not None:
+        lo, hi = vis_span
+        expert_span = (lo, hi - 1)
+    x = inputs_embeds
+    caches = []
+    for li in range(cfg.num_hidden_layers):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        x, (k, v) = _decoder_layer(
+            x,
+            lp,
+            cfg=cfg,
+            vis_mask=vis_mask,
+            segments=segments,
+            position_ids=position_ids,
+            cos=cos,
+            sin=sin,
+            attn_impl=attn_impl,
+            expert_span=expert_span,
+        )
+        k_bhsd = jnp.swapaxes(k, 1, 2)  # (B, H, S, D)
+        v_bhsd = jnp.swapaxes(v, 1, 2)
+        if kv_cache_dtype == "int8":
+            from ...ops.quant import quantize_kv
+
+            kq, ks = quantize_kv(k_bhsd)
+            vq, vs = quantize_kv(v_bhsd)
+            caches.append({
+                "kq": jnp.zeros((b, h, smax, d), jnp.int8).at[:, :, :s].set(kq),
+                "ks": jnp.zeros((b, h, smax, 1), jnp.bfloat16).at[:, :, :s].set(ks),
+                "vq": jnp.zeros((b, h, smax, d), jnp.int8).at[:, :, :s].set(vq),
+                "vs": jnp.zeros((b, h, smax, 1), jnp.bfloat16).at[:, :, :s].set(vs),
+            })
+        else:
+            caches.append((
+                jnp.zeros((b, h, smax, d), k.dtype).at[:, :, :s].set(k_bhsd),
+                jnp.zeros((b, h, smax, d), v.dtype).at[:, :, :s].set(v_bhsd),
+            ))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, caches
+
+
 def llm_decode_step(
     params: dict,
     cfg: CogVLMConfig,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.quant import qdot
 from .cogvlm import CogVLMConfig
-from .cogvlm.decoder import LANGUAGE_TOKEN_TYPE, llm_decode_step, llm_forward, vision_expert_mask
+from .cogvlm.decoder import LANGUAGE_TOKEN_TYPE, llm_decode_step, llm_prefill
 from .cogvlm.model import splice_vision_embeds
 from .cogvlm.vit import vit_forward
 
@@ -63,41 +63,16 @@ def greedy_generate(
     if image is not None:
         vis = vit_forward(params["vision"], cfg, image, patch_size, pool_size, attn_impl=attn_impl)
         emb = splice_vision_embeds(emb, vis)
-    hidden, kv = llm_forward(
+    # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout; the
+    # unrolled prefill writes each layer's K/V straight into its preallocated
+    # cache (no stacked (L, B, S, H, D) transient — that transient set the
+    # serving batch ceiling). kv_cache_dtype="int8" stores per-slot-quantized
+    # caches (half the bandwidth-bound decode reads; per (b, h, slot) scales).
+    hidden, caches = llm_prefill(
         params["llm"], cfg, emb, token_type_ids, position_ids, segments,
-        attn_impl=attn_impl, return_kv=True, vis_span=vis_span,
+        smax=smax, attn_impl=attn_impl, vis_span=vis_span,
+        kv_cache_dtype=kv_cache_dtype,
     )
-    l, _, _, h, d = kv["k"].shape
-    # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout + an
-    # unrolled layer loop keeps every update a single aliasable DUS.
-    # kv_cache_dtype="int8" stores per-slot-quantized caches (half the
-    # bandwidth-bound decode reads; per (b, h, slot) bf16 scales).
-    k0 = jnp.swapaxes(kv["k"], 2, 3)  # (L, B, H, S_prompt, D)
-    v0 = jnp.swapaxes(kv["v"], 2, 3)
-    if kv_cache_dtype == "int8":
-        from ..ops.quant import quantize_kv
-
-        pad = jnp.zeros((b, h, smax - s_prompt, d), jnp.int8)
-        pad_s = jnp.zeros((b, h, smax - s_prompt, 1), jnp.bfloat16)
-        caches = []
-        for li in range(l):
-            kq, ks = quantize_kv(k0[li])
-            vq, vs = quantize_kv(v0[li])
-            caches.append({
-                "kq": jnp.concatenate([kq, pad], axis=2),
-                "ks": jnp.concatenate([ks, pad_s], axis=2),
-                "vq": jnp.concatenate([vq, pad], axis=2),
-                "vs": jnp.concatenate([vs, pad_s], axis=2),
-            })
-    else:
-        pad = jnp.zeros((b, h, smax - s_prompt, d), kv["k"].dtype)
-        caches = [
-            (
-                jnp.concatenate([k0[li], pad], axis=2),
-                jnp.concatenate([v0[li], pad], axis=2),
-            )
-            for li in range(l)
-        ]
 
     last_idx = prompt_len - 1  # (B,)
     take = lambda arr: jnp.take_along_axis(arr, last_idx[:, None, None], axis=1)[:, 0] if arr.ndim == 3 else jnp.take_along_axis(arr, last_idx[:, None], axis=1)[:, 0]

@@ -107,19 +107,41 @@ def variable_patch_embed_3d(
     if d % pz or h % ph or wd % pw:
         raise ValueError(f"image shape {(d, h, wd)} not divisible by patch {patch_size}")
     gd, gh, gw = d // pz, h // ph, wd // pw
-    patches = x.reshape(b_, c, gd, pz, gh, ph, gw, pw)
-    # contraction order (pz, ph, c, pw): keeps (c, pw) — the innermost input
-    # strides — adjacent in the transpose, which is 23% faster on-chip than
-    # the (c, pz, ph, pw) order (42 vs 55 ms at B16 bench shapes); both the
-    # NCDHW and NDHWC lax.conv lowerings measured slower still
-    patches = patches.transpose(0, 2, 4, 6, 3, 5, 1, 7).reshape(
-        b_, gd * gh * gw, pz * ph * c * pw
-    )
     wmat = w.transpose(2, 3, 1, 4, 0).reshape(pz * ph * c * pw, -1)
-    out = jnp.dot(patches, wmat.astype(patches.dtype), preferred_element_type=jnp.float32)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    out = out.astype(x.dtype)
+
+    def embed(xc):  # (bc, C, D, H, W) -> (bc, T, Cout) fp-accumulated
+        bc = xc.shape[0]
+        patches = xc.reshape(bc, c, gd, pz, gh, ph, gw, pw)
+        # contraction order (pz, ph, c, pw): keeps (c, pw) — the innermost
+        # input strides — adjacent in the transpose, which is 23% faster
+        # on-chip than the (c, pz, ph, pw) order (42 vs 55 ms at B16 bench
+        # shapes); the NCDHW/NDHWC lax.conv lowerings measured slower still
+        patches = patches.transpose(0, 2, 4, 6, 3, 5, 1, 7).reshape(
+            bc, gd * gh * gw, pz * ph * c * pw
+        )
+        out = jnp.dot(patches, wmat.astype(patches.dtype), preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    # The 8-D im2col intermediates are tiled T(8,128) on their trailing
+    # (gw, pw) dims — an 8x padding expansion at pw=16 that was the single
+    # largest serving-prefill allocation (5 GB reshape + 3.4 GB transpose
+    # copy at batch 24; it set the batch ceiling, not the KV cache). Chunk
+    # the batch through lax.map so the padded transient stays bounded; the
+    # per-chunk matmul is tiny next to prefill attention.
+    pad8 = lambda v: -(-v // 8) * 8
+    pad128 = lambda v: -(-v // 128) * 128
+    padded_bytes = b_ * c * gd * pz * gh * ph * pad8(gw) * pad128(pw) * x.dtype.itemsize
+    target = 512 * 1024 * 1024
+    if padded_bytes > target and b_ > 1:
+        chunk = max(1, b_ * target // padded_bytes)
+        while b_ % chunk:
+            chunk -= 1
+        out = jax.lax.map(embed, x.reshape(b_ // chunk, chunk, c, d, h, wd))
+        out = out.reshape(b_, gd * gh * gw, -1)
+    else:
+        out = embed(x)
     return out.reshape(b_, gd, gh, gw, -1).transpose(0, 4, 1, 2, 3)
 
 
@@ -143,12 +165,28 @@ def variable_upsample_3d(
     cin, cout = w.shape[0], w.shape[1]
     b_, c, d, h, wd = x.shape
     wmat = w.reshape(cin, cout * kz * 2 * 2)
-    tokens = x.transpose(0, 2, 3, 4, 1).reshape(b_, d * h * wd, cin)
-    out = jnp.dot(tokens, wmat.astype(tokens.dtype), preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype)
-    out = out.reshape(b_, d, h, wd, cout, kz, 2, 2)
-    # (b, d, kz, h, 2, w, 2, cout) -> (b, cout, d*kz, h*2, w*2)
-    out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(b_, cout, d * kz, h * 2, wd * 2)
+
+    def up(xc):  # (bc, Cin, D, H, W) -> (bc, Cout, D*kz, 2H, 2W)
+        bc = xc.shape[0]
+        tokens = xc.transpose(0, 2, 3, 4, 1).reshape(bc, d * h * wd, cin)
+        o = jnp.dot(tokens, wmat.astype(tokens.dtype), preferred_element_type=jnp.float32)
+        o = o.astype(xc.dtype).reshape(bc, d, h, wd, cout, kz, 2, 2)
+        # (b, cout, d, kz, h, 2, w, 2) -> (b, cout, d*kz, h*2, w*2)
+        return o.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(bc, cout, d * kz, h * 2, wd * 2)
+
+    # Same T(8,128)-padding hazard as the patch embed above: the pixel-shuffle
+    # intermediates end in (w, 2) / (2, 2) dims, up to a 64x padded expansion.
+    # Chunk the batch so the transient stays bounded.
+    padded_bytes = b_ * d * h * wd * cout * kz * 8 * 128 * x.dtype.itemsize
+    target = 512 * 1024 * 1024
+    if padded_bytes > target and b_ > 1:
+        chunk = max(1, b_ * target // padded_bytes)
+        while b_ % chunk:
+            chunk -= 1
+        out = jax.lax.map(up, x.reshape(b_ // chunk, chunk, c, d, h, wd))
+        out = out.reshape(b_, cout, d * kz, h * 2, wd * 2)
+    else:
+        out = up(x)
     if bias is not None:
         out = out + bias.astype(out.dtype)[None, :, None, None, None]
     return out
