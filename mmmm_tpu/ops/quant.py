@@ -44,15 +44,62 @@ def quantize_int8(w: jnp.ndarray, axis: int = -2) -> dict:
     return _quantize_2d(w)
 
 
+def _quantize_int4_2d(w: jnp.ndarray, group: int) -> dict:
+    from .w4_matmul import pack_int4
+
+    k, n = w.shape
+    wf = w.astype(jnp.float32).reshape(k // group, group, n)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8).reshape(k, n)
+    return {"q4": pack_int4(q), "s4": scale[:, 0].astype(jnp.float32)}
+
+
+def quantize_int4(w: jnp.ndarray, group: int = 128) -> dict:
+    """Group-wise symmetric int4 over the contraction dim (group rows share
+    one fp32 scale per output column). Returns {"q4": packed (K/2, N) int8,
+    "s4": (K/group, N) fp32} for ``qdot``/``w4_matmul``. Quarter the HBM
+    bytes of bf16; needs the fused Pallas kernel to pay off (see
+    ``w4_matmul`` docstring). Requires 2*group | K and 256 | N (kernel tile;
+    every CogVLM expert weight satisfies both — the 32008-col lm_head does
+    not and stays int8)."""
+    if w.shape[-2] % (2 * group):
+        raise ValueError(f"K={w.shape[-2]} not divisible by 2*group={2*group}")
+    if w.shape[-1] % 256:
+        raise ValueError(f"N={w.shape[-1]} not divisible by the 256 kernel tile")
+    if w.ndim == 3:
+        parts = [_quantize_int4_2d(w[l], group) for l in range(w.shape[0])]
+        return {
+            "q4": jnp.stack([p["q4"] for p in parts]),
+            "s4": jnp.stack([p["s4"] for p in parts]),
+        }
+    return _quantize_int4_2d(w, group)
+
+
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w and "s" in w
+    return isinstance(w, dict) and ("q" in w or "q4" in w) and ("s" in w or "s4" in w)
 
 
 def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w for plain or quantized weights; the dequant scale applies after
-    the matmul so the int8 tensor is what streams from HBM."""
+    the matmul (int8) or inside the fused kernel (int4) so the quantized
+    tensor is what streams from HBM."""
     if not is_quantized(w):
         return jnp.dot(x, w)
+    if "q4" in w:
+        import jax
+
+        from .w4_matmul import w4_matmul, w4_matmul_xla
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        m, n = x2.shape[0], w["q4"].shape[-1]
+        m_pad = (-m) % (8 if m <= 256 else 256)  # kernel m-tile
+        if m_pad:
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+        fn = w4_matmul if jax.default_backend() == "tpu" else w4_matmul_xla
+        y = fn(x2, w["q4"], w["s4"])
+        return y[:m].reshape(*lead, n)
     y = jnp.dot(x, w["q"].astype(x.dtype))
     return y * jnp.squeeze(w["s"], axis=-2).astype(y.dtype)
 
@@ -79,11 +126,18 @@ _LLM_QUANT_KEYS = (
 _MLP_QUANT_KEYS = ("gate", "up", "down")
 
 
-def quantize_llm_for_serving(params: dict, release_originals: bool = True) -> dict:
+def quantize_llm_for_serving(
+    params: dict, release_originals: bool = True, bits: int = 8
+) -> dict:
     """Return the CogVLM params with the LLM expert weights and the lm_head
     int8-quantized ({"q", "s"} leaves the decoder consumes via ``qdot``).
     Embeddings, norms, RoPE and the ViT stay bf16 (the ViT is FLOPs-bound in
     prefill, not bandwidth-bound).
+
+    ``bits=4``: expert weights go to group-128 int4 (W4A16, the fused Pallas
+    ``w4_matmul`` path — quarter the decode weight reads); the lm_head stays
+    int8 (its 32008 columns don't tile, and greedy argmax is the most
+    quantization-sensitive op in the serving path).
 
     ``release_originals=True`` (default) converts tensor-by-tensor, dropping
     each bf16 original before the next one quantizes — otherwise originals and
@@ -95,9 +149,9 @@ def quantize_llm_for_serving(params: dict, release_originals: bool = True) -> di
     src_layers = llm["layers"] if release_originals else dict(llm["layers"])
     layers = dict(src_layers)
 
-    def convert(container, key):
+    def convert(container, key, force8: bool = False):
         w = container.pop(key) if release_originals else container[key]
-        q = quantize_int8(w)
+        q = quantize_int8(w) if bits == 8 or force8 else quantize_int4(w)
         del w
         return q
 
@@ -111,6 +165,6 @@ def quantize_llm_for_serving(params: dict, release_originals: bool = True) -> di
         layers[mlp_key] = mlp
     llm["layers"] = layers
     # pop from the ORIGINAL dict so the bf16 head actually frees
-    llm["lm_head"] = convert(params["llm"], "lm_head")
+    llm["lm_head"] = convert(params["llm"], "lm_head", force8=True)
     out["llm"] = llm
     return out
