@@ -38,11 +38,11 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = 128
-# B16 is the HBM wall for the full grounded path at 6.5 B: batches 18-24
-# runtime-OOM even with int8 weights + int8 KV (prefill ViT/SAM activation
-# peaks, not cache bytes, are the binding constraint; batch 32 additionally
-# overruns the remote compiler). Override with MMMM_BENCH_BATCH.
-BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "16"))
+# B24 is the measured sweet spot after the round-3 prefill-transient fixes
+# (unrolled llm_prefill + chunked patch-embed im2col): 9.97 rep/s vs 8.9 at
+# B16. B32 still runtime-OOMs on the bf16 KV cache. Override with
+# MMMM_BENCH_BATCH.
+BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "24"))
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
@@ -175,14 +175,29 @@ def build():
     bias = jnp.zeros((head.shape[-1],), head.dtype)
     bias = bias.at[tokenizer.bop_token_id].set(3.8).at[tokenizer.eop_token_id].set(3.6)
     params["cogvlm"]["llm"]["lm_head"] = head + bias[None, :]
-    quant = os.environ.get("MMMM_BENCH_QUANT", "1") != "0"
-    if quant:
+    quant = os.environ.get("MMMM_BENCH_QUANT", "1")
+    if quant != "0":
         # W8A16 serving mode: LLM expert weights + lm_head stream as int8
-        # (decode is HBM-bound, so bytes/weight is the throughput ceiling)
+        # (decode is HBM-bound, so bytes/weight is the throughput ceiling).
+        # MMMM_BENCH_QUANT=4: W4A16 experts via the fused Pallas w4_matmul
+        # (quarter the weight reads; lm_head stays int8).
         from mmmm_tpu.ops.quant import quantize_llm_for_serving
 
         params = dict(params)
-        params["cogvlm"] = quantize_llm_for_serving(params["cogvlm"])
+        params["cogvlm"] = quantize_llm_for_serving(
+            params["cogvlm"], bits=4 if quant == "4" else 8
+        )
+    if os.environ.get("MMMM_BENCH_VIT_PAD", "0") != "0":
+        # lossless zero-padding of EVA heads 88 -> 128 lanes: aligns both
+        # attention matmuls to the MXU and enables the flash kernel for the
+        # ViT (A/B flag; see vit.pad_attention_heads)
+        from mmmm_tpu.models.cogvlm.vit import pad_attention_heads
+
+        params = dict(params)
+        params["cogvlm"] = dict(params["cogvlm"])
+        params["cogvlm"]["vision"] = pad_attention_heads(
+            params["cogvlm"]["vision"], cfg.vlm.vision.num_heads
+        )
 
     b, s = BATCH, PROMPT_LEN
     rng = np.random.default_rng(0)
@@ -336,6 +351,8 @@ def main():
                 "new_tokens": MAX_NEW_TOKENS,
                 "kv_cache": KV_DTYPE,
                 "quantized": os.environ.get("MMMM_BENCH_QUANT", "1") != "0",
+                "weight_bits": 4 if os.environ.get("MMMM_BENCH_QUANT") == "4"
+                else (8 if os.environ.get("MMMM_BENCH_QUANT", "1") != "0" else 16),
             }
         )
     )

@@ -78,18 +78,61 @@ def init_vit_params(key, cfg: CogVLMConfig, dtype=jnp.float32) -> dict:
 
 def _vit_layer(x, lp, *, num_heads: int, eps: float, segments, attn_impl: str):
     b, s, c = x.shape
-    head_dim = c // num_heads
+    # head_dim comes from the weight (it may be lane-padded for serving,
+    # see ``pad_attention_heads``); the softmax scale always uses the TRUE
+    # head dim so padded and unpadded weights are numerically identical
+    head_dim = lp["qkv_w"].shape[-1] // (3 * num_heads)
+    scale = (c // num_heads) ** -0.5
     # attention sublayer, post-norm
     qkv = jnp.dot(x, lp["qkv_w"]) + lp["qkv_b"]
     q, k, v = jnp.split(qkv.reshape(b, s, 3 * num_heads, head_dim), 3, axis=2)
-    attn = segment_attention(q, k, v, segments, impl=attn_impl)
-    attn = jnp.dot(attn.reshape(b, s, c), lp["dense_w"]) + lp["dense_b"]
+    # vit_forward builds segments as all-ones (bucketed batches, one image
+    # per row — no packing), so the xla path can skip the mask entirely
+    attn = segment_attention(
+        q, k, v, segments, impl=attn_impl, scale=scale, all_valid=True
+    )
+    attn = jnp.dot(attn.reshape(b, s, num_heads * head_dim), lp["dense_w"]) + lp["dense_b"]
     x = x + layer_norm(attn, lp["ln1_w"], lp["ln1_b"], eps)
     # MLP sublayer, post-norm
     h = jax.nn.gelu(jnp.dot(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
     h = jnp.dot(h, lp["fc2_w"]) + lp["fc2_b"]
     x = x + layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
     return x
+
+
+def pad_attention_heads(vit_params: dict, num_heads: int, target: int = 128) -> dict:
+    """Lossless serving transform: pad every attention head from its native
+    dim (EVA: 1408/16 = 88) to ``target`` lanes with zeros.
+
+    Zero-padded q/k lanes leave the logits unchanged (the scale stays at the
+    true ``88**-0.5``); zero-padded v lanes produce zero output lanes which
+    the zero-padded dense rows then ignore — the forward is bit-identical.
+    What it buys on TPU: head_dim 88 wastes 31% of MXU lanes in both
+    attention matmuls and forces the flash kernel off (``segment_attention``
+    "auto" needs 128-multiple head dims); padding at the *weight* level costs
+    nothing at runtime, unlike padding activations every layer.
+    """
+    p = dict(vit_params)
+    layers = dict(p["layers"])
+    ell, c, three_c = layers["qkv_w"].shape
+    d = c // num_heads
+    if d == target:
+        return vit_params
+
+    def pad_last(a, from_d, shape_head):
+        # reshape trailing (…, H*from_d) -> (…, H, from_d), pad, flatten back
+        lead = a.shape[:-1]
+        a = a.reshape(*lead, *shape_head, from_d)
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, target - from_d)])
+        return a.reshape(*lead, -1)
+
+    layers["qkv_w"] = pad_last(layers["qkv_w"], d, (3, num_heads))
+    layers["qkv_b"] = pad_last(layers["qkv_b"], d, (3, num_heads))
+    dw = layers["dense_w"].reshape(ell, num_heads, d, c)
+    dw = jnp.pad(dw, ((0, 0), (0, 0), (0, target - d), (0, 0)))
+    layers["dense_w"] = dw.reshape(ell, num_heads * target, c)
+    p["layers"] = layers
+    return p
 
 
 def vit_forward(

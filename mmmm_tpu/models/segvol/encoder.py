@@ -57,7 +57,11 @@ def _block(x, lp, *, num_heads: int, segments, attn_impl: str):
     h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
     qkv = jnp.dot(h, lp["qkv_w"])
     q, k, v = [t.reshape(b, s, num_heads, d) for t in jnp.split(qkv, 3, axis=-1)]
-    attn = segment_attention(q, k, v, segments, impl=attn_impl).reshape(b, s, c)
+    # segments are built all-ones below (bucketed batches, no packing):
+    # the xla path skips the mask build entirely (semantically a no-op)
+    attn = segment_attention(
+        q, k, v, segments, impl=attn_impl, all_valid=True
+    ).reshape(b, s, c)
     x = x + jnp.dot(attn, lp["out_w"]) + lp["out_b"]
     h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
     h = jax.nn.gelu(jnp.dot(h, lp["fc1_w"]) + lp["fc1_b"], approximate=False)

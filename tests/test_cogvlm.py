@@ -178,3 +178,24 @@ def test_vis_span_fast_path_matches_masked():
     fast = llm_forward(params, cfg, emb, tt, pos, seg, attn_impl="xla",
                        vis_span=(lo, hi))
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_vit_padded_heads_identical():
+    """pad_attention_heads is numerically lossless (same forward output)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmm_tpu.models.cogvlm import CogVLMConfig
+    from mmmm_tpu.models.cogvlm.vit import init_vit_params, pad_attention_heads, vit_forward
+
+    cfg = CogVLMConfig.tiny()
+    v = cfg.vision
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, v.in_channels, 4, 16, 16)), jnp.float32)
+    ref = vit_forward(params, cfg, img, (2, 4, 4), (1, 1, 1), attn_impl="xla")
+    pp = pad_attention_heads(params, v.num_heads, target=64)
+    assert pp["layers"]["qkv_w"].shape[-1] == 3 * v.num_heads * 64
+    got = vit_forward(pp, cfg, img, (2, 4, 4), (1, 1, 1), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

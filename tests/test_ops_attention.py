@@ -119,3 +119,21 @@ def test_decode_attention_matches_full():
     valid = jnp.ones((b, s), bool)
     dec = decode_attention(q_full[:, -1:], k, v, valid)
     np.testing.assert_allclose(np.asarray(dec[:, 0]), np.asarray(full[:, -1]), atol=1e-5)
+
+
+def test_all_valid_fast_path_matches_masked():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmm_tpu.ops import segment_attention
+
+    rng = np.random.default_rng(11)
+    b, s, h, d = 2, 17, 4, 8
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    seg = jnp.ones((b, s), jnp.int32)
+    ref = segment_attention(q, k, v, seg, impl="xla")
+    got = segment_attention(q, k, v, seg, impl="xla", all_valid=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
