@@ -149,6 +149,14 @@ def segment_attention(
                 )
         impl = "auto"
     if impl == "auto":
+        if all_valid and not causal and jax.default_backend() == "tpu":
+            # encoder sites (ViT / SAM): whole-K/V-in-VMEM dense kernel —
+            # XLA materializes the (B, H, S, S) fp32 logits (429 ms of the
+            # 780 ms B24 ViT prefill) and flash underfeeds the MXU at D=88
+            from .dense_attn import dense_attention, fits_dense_kernel
+
+            if fits_dense_kernel(q.shape[1], q.shape[-1]):
+                return dense_attention(q, k, v, scale)
         # flash wins where its streaming pays: causal masks (skip half the
         # blocks) or 128-multiple head dims. Bidirectional attention with a
         # padded head dim (EVA ViT: 88 -> 128 lanes, SAM encoder: 64) runs

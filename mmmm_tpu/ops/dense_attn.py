@@ -1,0 +1,120 @@
+"""Big-block dense (all-valid, bidirectional) attention kernel.
+
+The encoder attention sites (EVA ViT, SAM encoder) attend all-to-all within a
+bucketed batch — no padding, no packing, no causality. The generic paths are
+mis-fit there, measured on-chip at B24 bench shapes (S=1153, H=16, D=88):
+
+  - XLA einsum attention materializes the (B, H, S, S) fp32 logits in HBM and
+    re-walks it for the softmax — 429 ms of the 780 ms ViT prefill;
+  - the flash kernel (128x128 blocks, online softmax) pays its streaming
+    rescale machinery for a sequence that FITS IN VMEM, and at D=88 its tiny
+    matmuls underfeed the MXU (1060 ms).
+
+At these sizes the whole K/V plus one fat q-block fit in VMEM at once
+(~6 MB), so this kernel does the textbook thing: one (bq, S) logit tile, ONE
+full-row fp32 softmax (no online rescaling), one PV matmul — logits never
+touch HBM. Grid (B, H, S/bq); D rides as the trailing block dim equal to the
+array dim (88 needs no padding under the "equal to array dims" Mosaic rule).
+
+Backward recomputes through the XLA path (``jax.custom_vjp``): training perf
+is unchanged, serving prefill gets the fused forward.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# per-cell VMEM budget: k+v + q + fp32 logits + bf16 probs + out (bytes)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (Sp, D)
+    v = v_ref[0, 0]
+    s = scale * lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, Sp)
+    sp = k.shape[0]
+    if s_real < sp:  # mask the padded tail columns
+        kpos = lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+        s = jnp.where(kpos < s_real, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _pick_bq(s_pad: int, d: int) -> int | None:
+    # prefer fat q-tiles: each cell re-streams the whole K/V, so fewer cells
+    # means proportionally less HBM traffic (bq 640 vs 256 at S=1280: 2.5x)
+    for bq in (640, 512, 384, 256, 128):
+        if s_pad % bq:
+            continue
+        need = 2 * s_pad * d * 2 + bq * d * 2 + bq * s_pad * (4 + 2) + bq * d * 4
+        if need <= _VMEM_BUDGET:
+            return bq
+    return None
+
+
+def fits_dense_kernel(s: int, d: int) -> bool:
+    s_pad = -(-s // 128) * 128
+    return _pick_bq(s_pad, d) is not None
+
+
+def _dense_fwd(q, k, v, scale):
+    b, s, h, d = q.shape
+    s_pad = -(-s // 128) * 128
+    bq = _pick_bq(s_pad, d)
+    qt, kt, vt = (
+        jnp.pad(jnp.swapaxes(t, 1, 2), ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        for t in (q, k, v)
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, s_real=s),
+        grid=(b, h, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, i: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, i: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qt, kt, vt)
+    return jnp.swapaxes(out[:, :, :s], 1, 2)  # (B, S, H, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def dense_attention(q, k, v, scale):
+    """All-valid bidirectional attention, (B, S, H, D) -> (B, S, H, D)."""
+    return _dense_fwd(q, k, v, scale)
+
+
+def _vjp_fwd(q, k, v, scale):
+    return _dense_fwd(q, k, v, scale), (q, k, v)
+
+
+def _vjp_bwd(scale, residuals, g):
+    # recompute through the XLA dense path: O(S^2) HBM like any XLA bwd, but
+    # the backward only runs in training where that is already the baseline
+    from .attention import _xla_attention_dense
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention_dense(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+dense_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -137,3 +137,29 @@ def test_all_valid_fast_path_matches_masked():
     ref = segment_attention(q, k, v, seg, impl="xla")
     got = segment_attention(q, k, v, seg, impl="xla", all_valid=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_attention_kernel_matches_xla():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmm_tpu.ops.attention import _xla_attention_dense
+    from mmmm_tpu.ops.dense_attn import dense_attention
+
+    rng = np.random.default_rng(12)
+    b, s, h, d = 2, 130, 3, 24  # padded tail (130 -> 256) + odd head dim
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    scale = d ** -0.5
+    got = dense_attention(q, k, v, scale)
+    want = _xla_attention_dense(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the custom_vjp (XLA recompute backward)
+    f = lambda q_: jnp.sum(dense_attention(q_, k, v, scale) ** 2)
+    fx = lambda q_: jnp.sum(_xla_attention_dense(q_, k, v, scale) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(q)), np.asarray(jax.grad(fx)(q)), rtol=1e-4, atol=1e-4
+    )
