@@ -12,6 +12,7 @@ math fp32, invalid cache slots masked by ``kv_len``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,113 @@ def decode_attention_pallas_q8(
     return out.reshape(b, 1, h, d)
 
 
+def _decode_kernel_ragged(
+    klen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale: float, block_s: int, nblk: int,
+):
+    """Online-softmax decode attention over S blocks (flash-decoding style).
+
+    Grid is (B, nblk) with the KV index map clamping block j to the last
+    valid block for the sample: consecutive grid steps that resolve to the
+    same block index elide the HBM copy, so cache slots past ``kv_len`` are
+    never re-read — the decode read stream scales with the true sequence
+    length, not the padded cache size. Compute for fully-invalid blocks is
+    skipped via ``pl.when``; the boundary block masks per-slot."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    klen = klen_ref[i]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kstart = j * block_s
+
+    @pl.when(kstart < klen)
+    def _block():
+        heads = q_ref.shape[1]
+        slot = kstart + lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
+        valid = slot < klen
+        for h in range(heads):
+            q = q_ref[0, h].astype(jnp.float32)  # (D,)
+            k = k_ref[0, h].astype(jnp.float32)  # (bs, D)
+            s = jnp.sum(k * q[None, :], axis=-1, keepdims=True) * scale  # (bs, 1)
+            s = jnp.where(valid, s, NEG_INF)
+            m_prev = m_ref[h]  # (1,)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+            alpha = jnp.exp(m_prev - m_new)  # (1,)
+            p = jnp.exp(s - m_new[None, :])
+            p = jnp.where(valid, p, 0.0)  # (bs, 1)
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0)
+            acc_ref[h] = acc_ref[h] * alpha + jnp.sum(
+                v_ref[0, h].astype(jnp.float32) * p, axis=0
+            )
+            m_ref[h] = m_new
+
+    @pl.when(j == nblk - 1)
+    def _flush():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _ragged_block(smax: int) -> int | None:
+    """Largest S-block in [8, 128] dividing smax; None if ragged reads can't
+    pay (cache too short to skip anything)."""
+    if smax <= 128:
+        return None
+    for bs in (128, 64, 32, 16, 8):
+        if smax % bs == 0:
+            return bs
+    return None
+
+
+def decode_attention_pallas_ragged(
+    q: jnp.ndarray,  # (B, 1, H, D)
+    k_cache: jnp.ndarray,  # (B, H, S, D)
+    v_cache: jnp.ndarray,  # (B, H, S, D)
+    kv_len: jnp.ndarray,  # (B,)
+    *,
+    scale: float | None = None,
+    block_s: int,
+) -> jnp.ndarray:
+    """Length-aware decode attention: reads only ⌈kv_len/block_s⌉ KV blocks
+    per sample. Same contract as ``decode_attention_pallas``."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, _, h, d = q.shape
+    smax = k_cache.shape[2]
+    nblk = smax // block_s
+    qh = jnp.swapaxes(q, 1, 2).reshape(b, h, d)
+
+    def kv_map(i, j, klen):
+        last = jnp.maximum((klen[i] + block_s - 1) // block_s - 1, 0)
+        return (i, 0, jnp.minimum(j, last), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_ragged, scale=scale, block_s=block_s, nblk=nblk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nblk),
+            in_specs=[
+                pl.BlockSpec((1, h, d), lambda i, j, klen: (i, 0, 0)),
+                pl.BlockSpec((1, h, block_s, d), kv_map),
+                pl.BlockSpec((1, h, block_s, d), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, h, d), lambda i, j, klen: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(kv_len.astype(jnp.int32), qh, k_cache, v_cache)
+    return out.reshape(b, 1, h, d)
+
+
 def decode_attention_pallas(
     q: jnp.ndarray,  # (B, 1, H, D)
     k_cache: jnp.ndarray,  # (B, H, S, D)
@@ -116,11 +224,20 @@ def decode_attention_pallas(
     scale: float | None = None,
 ) -> jnp.ndarray:
     """Returns (B, 1, H, D); same contract as ``decode_attention_bhsd`` with a
-    prefix-valid mask (slots [0, kv_len) are real)."""
+    prefix-valid mask (slots [0, kv_len) are real). Dispatches to the ragged
+    (length-aware-read) kernel when the cache is long enough for skipped
+    blocks to pay (MMMM_RAGGED_DECODE=0 forces the full-read kernel)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_cache.shape[2]
+    # default off until verified on-chip (CPU interpret mode can't check
+    # Mosaic rules for the scalar-prefetch block remap); MMMM_RAGGED_DECODE=1
+    bs = _ragged_block(smax) if os.environ.get("MMMM_RAGGED_DECODE", "0") == "1" else None
+    if bs is not None:
+        return decode_attention_pallas_ragged(
+            q, k_cache, v_cache, kv_len, scale=scale, block_s=bs
+        )
     qh = jnp.swapaxes(q, 1, 2).reshape(b, h, d)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale),

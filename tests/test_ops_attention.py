@@ -163,3 +163,30 @@ def test_dense_attention_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(jax.grad(f)(q)), np.asarray(jax.grad(fx)(q)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_ragged_decode_kernel_matches_reference():
+    """Length-aware (block-skipping) decode kernel == masked XLA decode for
+    varied kv_len, incl. block-boundary and sub-block lengths."""
+    from mmmm_tpu.ops.attention import decode_attention_bhsd
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_ragged
+
+    rng = np.random.default_rng(7)
+    b, h, d, smax = 4, 4, 128, 192  # 6 blocks of 32
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    kv_len = jnp.asarray([1, 32, 97, 192], jnp.int32)
+    valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+    ref = decode_attention_bhsd(q, k, v, valid)
+    got = decode_attention_pallas_ragged(q, k, v, kv_len, block_s=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ragged_block_selection():
+    from mmmm_tpu.ops.decode_kernel import _ragged_block
+
+    assert _ragged_block(320) == 64
+    assert _ragged_block(512) == 128
+    assert _ragged_block(128) is None  # too short to skip anything
+    assert _ragged_block(321) is None  # indivisible -> legacy kernel
