@@ -260,6 +260,39 @@ def llm_forward(
         expert_span=expert_span,
     )
 
+    if not return_kv:
+        # pipeline-parallel path: the trainer staged the stacked layers over a
+        # ``pipe`` mesh axis (parallel/pipeline.set_pipe_context) — run the
+        # GPipe microbatch schedule instead of the local scan. KV-returning
+        # prefill stays local (serving is TP/single-chip territory).
+        from ...parallel.pipeline import get_pipe_context, pipe_ready, pipeline_layers
+
+        ctx = get_pipe_context()
+        if ctx is not None and pipe_ready(params["layers"], inputs_embeds.shape[0]):
+            mesh, axis, n_micro = ctx
+
+            def layer_fn(h, lp, side):
+                h_new, _ = _decoder_layer(
+                    h, lp, cfg=cfg, vis_mask=side["vis_mask"],
+                    segments=side["segments"], position_ids=side["position_ids"],
+                    cos=cos, sin=sin,
+                    attn_impl="auto" if attn_impl == "ring" else attn_impl,
+                    expert_span=expert_span,
+                )
+                return h_new
+
+            if remat:
+                layer_fn = jax.checkpoint(layer_fn, policy=remat_policy(remat))
+            side = {
+                "vis_mask": vis_mask,
+                "segments": segments,
+                "position_ids": position_ids,
+            }
+            x = pipeline_layers(
+                layer_fn, params["layers"], inputs_embeds, side, mesh, axis, n_micro
+            )
+            return rms_norm(x, params["norm"], cfg.rms_norm_eps)
+
     def body(h, lp):
         h_new, kv = layer(h, lp)
         return h_new, kv if return_kv else None

@@ -14,22 +14,34 @@ from jax.sharding import Mesh
 
 
 def make_mesh(
-    data: int | None = None, model: int = 1, seq: int = 1, devices=None
+    data: int | None = None,
+    model: int = 1,
+    seq: int = 1,
+    pipe: int = 1,
+    devices=None,
 ) -> Mesh:
-    """Build a (data, model[, seq]) mesh. ``data=None`` uses all remaining
-    devices. ``seq>1`` adds a sequence-parallel axis (innermost, so ring
-    attention's ppermute rides neighboring ICI links)."""
+    """Build a (pipe,) (data, model[, seq]) mesh. ``data=None`` uses all
+    remaining devices. ``seq>1`` adds a sequence-parallel axis (innermost, so
+    ring attention's ppermute rides neighboring ICI links); ``pipe>1`` adds a
+    pipeline-stage axis (outermost: stage hops are the only traffic crossing
+    it, so it belongs on the slowest links — DCN between slices)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        if n % (model * seq):
-            raise ValueError(f"{n} devices not divisible by model={model} x seq={seq}")
-        data = n // (model * seq)
-    if data * model * seq != n:
-        devices = devices[: data * model * seq]
+        if n % (model * seq * pipe):
+            raise ValueError(
+                f"{n} devices not divisible by model={model} x seq={seq} x pipe={pipe}"
+            )
+        data = n // (model * seq * pipe)
+    if data * model * seq * pipe != n:
+        devices = devices[: data * model * seq * pipe]
+    shape = [pipe] if pipe > 1 else []
+    names = ["pipe"] if pipe > 1 else []
+    shape += [data, model]
+    names += ["data", "model"]
     if seq > 1:
-        arr = np.asarray(devices).reshape(data, model, seq)
-        return Mesh(arr, ("data", "model", "seq"))
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        shape.append(seq)
+        names.append("seq")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(names))

@@ -99,12 +99,38 @@ def _fit_spec(spec: P, leaf, mesh: Mesh) -> P:
     return P(*out)
 
 
+def _pipe_spec(spec: P, path: str, leaf, mesh: Mesh) -> P:
+    """Stage the stacked LLM decoder layers over a ``pipe`` axis: their
+    leading (L) dim is the pipeline-stage dim consumed by
+    ``parallel.pipeline.pipeline_layers`` (shard_map in_specs P('pipe', ...)),
+    so sharding it here makes the shard_map entry a no-op instead of a
+    reshard."""
+    if "pipe" not in mesh.axis_names or mesh.shape["pipe"] == 1:
+        return spec
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if (
+        re.search(r"llm/layers/", "/" + path + "/")
+        and ndim > 0
+        and shape[0] % mesh.shape["pipe"] == 0
+    ):
+        out = list(spec) + [None] * (ndim - len(spec))
+        if out[0] is None:
+            out[0] = "pipe"
+        return P(*out)
+    return spec
+
+
 def param_shardings(tree, mesh: Mesh, rules: PartitionRules = PartitionRules()):
     """NamedSharding pytree mirroring ``tree`` (params / LoRA / opt state)."""
     flat, treedef = _flatten_paths(tree)
     shardings = [
         NamedSharding(
-            mesh, _fit_spec(rules.spec_for(path, getattr(leaf, "ndim", 0)), leaf, mesh)
+            mesh,
+            _pipe_spec(
+                _fit_spec(rules.spec_for(path, getattr(leaf, "ndim", 0)), leaf, mesh),
+                path, leaf, mesh,
+            ),
         )
         for path, leaf in flat
     ]
@@ -132,7 +158,7 @@ def fsdp_shardings(
     out = []
     for path, leaf in flat:
         ndim = getattr(leaf, "ndim", 0)
-        base = _fit_spec(rules.spec_for(path, ndim), leaf, mesh)
+        base = _pipe_spec(_fit_spec(rules.spec_for(path, ndim), leaf, mesh), path, leaf, mesh)
         spec = list(base) + [None] * (ndim - len(base))
         size = getattr(leaf, "size", 0)
         if n > 1 and size >= min_size and ndim > 0:

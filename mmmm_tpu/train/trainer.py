@@ -38,6 +38,8 @@ class TrainerConfig:
     batch_size: int = 8
     mesh_model: int = 1  # tensor-parallel degree
     mesh_seq: int = 1  # sequence-parallel (ring attention) degree
+    mesh_pipe: int = 1  # pipeline-parallel degree (stages over the layer stack)
+    pipe_micro: int = 4  # microbatches per pipeline step (bubble = (S-1)/(M+S-1))
     mesh_data: int | None = None  # data-parallel degree; None = auto
     bf16_vlm: bool = True
     # store the frozen CogVLM base directly in bf16 (the compute dtype under
@@ -77,15 +79,26 @@ class Trainer:
         init_distributed()
         self.mesh = None
         n_dev = len(jax.devices())
-        if cfg.mesh_model > 1 or cfg.mesh_seq > 1 or cfg.mesh_data is not None or n_dev > 1:
+        if (
+            cfg.mesh_model > 1 or cfg.mesh_seq > 1 or cfg.mesh_pipe > 1
+            or cfg.mesh_data is not None or n_dev > 1
+        ):
             import math
 
             data = cfg.mesh_data
             if data is None:
                 # largest data axis that divides both the batch and the devices
-                avail = n_dev // (cfg.mesh_model * cfg.mesh_seq)
+                avail = n_dev // (cfg.mesh_model * cfg.mesh_seq * cfg.mesh_pipe)
                 data = math.gcd(cfg.batch_size, avail) or 1
-            self.mesh = make_mesh(data=data, model=cfg.mesh_model, seq=cfg.mesh_seq)
+            self.mesh = make_mesh(
+                data=data, model=cfg.mesh_model, seq=cfg.mesh_seq, pipe=cfg.mesh_pipe
+            )
+        if cfg.mesh_pipe > 1:
+            # pipeline-parallel training: stage the decoder stack over the
+            # pipe axis (COMPONENTS §2.7 PP row)
+            from ..parallel.pipeline import set_pipe_context
+
+            set_pipe_context(self.mesh, "pipe", cfg.pipe_micro)
         if cfg.mesh_seq > 1:
             # sequence-parallel training: route every self-attention through
             # the ring kernel (COMPONENTS §2.7 SP row)
