@@ -140,3 +140,40 @@ def test_radgraph_heuristic_annotator_and_f1():
     r3 = radgraph_f1([report], [report], hyp_annotations=h, ref_annotations=h)
     assert r3["radgraph_mean"] == 1.0 and r3["annotator"] == "precomputed"
     assert build_annotator().source == "heuristic"  # no radgraph pkg here
+
+
+def test_judge_end_to_end_over_llm_batch():
+    """The full LlamaMetrics-equivalent path with a REAL local model: judge
+    prompts -> llm_batch batched generation (jitted prefill+decode) -> parse
+    -> aggregate. The tiny random model's lm_head is biased toward the '1'
+    byte so the binary parse has a deterministic outcome (the reference's
+    vLLM judge is external; the harness contract is what's pinned here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmm_tpu.data import MMMMTokenizer
+    from mmmm_tpu.eval.judge import LLMJudge
+    from mmmm_tpu.models import MMMMConfig, MMMMModel
+    from mmmm_tpu.models.llm_batch import make_text_generator
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok)).vlm
+    params = MMMMModel(MMMMConfig.tiny(vocab_size=len(tok))).init(
+        jax.random.PRNGKey(0)
+    )["cogvlm"]
+    (one_id,) = tok.encode("1")
+    head = params["llm"]["lm_head"]
+    params["llm"]["lm_head"] = head.at[:, one_id].add(jnp.float32(8.0))
+
+    gen = make_text_generator(
+        params, cfg, tok, max_new_tokens=4, batch_size=2, attn_impl="xla"
+    )
+    rows = [
+        {"question": "Is there pneumonia?", "reference": "yes", "prediction": "yes"},
+        {"question": "Which lobe?", "reference": "left lower", "prediction": "left lower"},
+        {"question": "Modality?", "reference": "CT", "prediction": "CT"},
+    ]
+    judge = LLMJudge(gen)
+    out = judge.score_binary(rows)
+    assert out["judge_parse_rate"] == 1.0
+    assert out["judge_accuracy"] == 1.0
