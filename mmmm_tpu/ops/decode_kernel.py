@@ -83,11 +83,18 @@ def decode_attention_pallas_q8(
     *,
     scale: float | None = None,
 ) -> jnp.ndarray:
-    """Int8-KV-cache decode attention; contract matches ``decode_attention_pallas``."""
+    """Int8-KV-cache decode attention; contract matches ``decode_attention_pallas``.
+    Dispatches to the ragged (length-aware-read) variant when the cache is
+    long enough for skipped blocks to pay (MMMM_RAGGED_DECODE gate)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_q.shape[2]
+    bs = _ragged_block(smax) if os.environ.get("MMMM_RAGGED_DECODE", "0") == "1" else None
+    if bs is not None:
+        return decode_attention_pallas_q8_ragged(
+            q, k_q, k_s, v_q, v_s, kv_len, scale=scale, block_s=bs
+        )
     chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
     qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
     out = pl.pallas_call(
@@ -155,6 +162,107 @@ def _decode_kernel_ragged(
     @pl.when(j == nblk - 1)
     def _flush():
         o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _decode_kernel_q8_ragged(
+    klen_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale: float, block_s: int, nblk: int,
+):
+    """Ragged (length-aware-read) int8-KV decode: the S-block/online-softmax
+    structure of ``_decode_kernel_ragged`` x the head-chunked int8 dequant of
+    ``_decode_kernel_q8``. Grid (B, H/chunk, nblk); KV blocks past ``kv_len``
+    remap to the last valid block (copy elided), so the dominant long-context
+    read stream scales with the true sequence length."""
+    i, j = pl.program_id(0), pl.program_id(2)
+    _, chunk, _, _ = kq_ref.shape
+    klen = klen_ref[i]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kstart = j * block_s
+
+    @pl.when(kstart < klen)
+    def _block():
+        slot = kstart + lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
+        valid = slot < klen
+        for h in range(chunk):
+            q = q_ref[0, h, 0].astype(jnp.float32)  # (D,)
+            kq = kq_ref[0, h].astype(jnp.float32)  # (bs, D)
+            ks = ks_ref[0, h].astype(jnp.float32)  # (bs, 1)
+            s = jnp.sum(kq * q[None, :], axis=-1, keepdims=True) * ks * scale
+            s = jnp.where(valid, s, NEG_INF)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[None, :])
+            p = jnp.where(valid, p, 0.0)
+            w = p * vs_ref[0, h].astype(jnp.float32)  # (bs, 1)
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0)
+            acc_ref[h] = acc_ref[h] * alpha + jnp.sum(
+                vq_ref[0, h].astype(jnp.float32) * w, axis=0
+            )
+            m_ref[h] = m_new
+
+    @pl.when(j == nblk - 1)
+    def _flush():
+        o_ref[0, :, 0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+def decode_attention_pallas_q8_ragged(
+    q: jnp.ndarray,  # (B, 1, H, D)
+    k_q: jnp.ndarray,  # (B, H, S, D) int8
+    k_s: jnp.ndarray,  # (B, H, S, 1)
+    v_q: jnp.ndarray,  # (B, H, S, D) int8
+    v_s: jnp.ndarray,  # (B, H, S, 1)
+    kv_len: jnp.ndarray,  # (B,)
+    *,
+    scale: float | None = None,
+    block_s: int,
+) -> jnp.ndarray:
+    """Length-aware int8-KV decode; contract matches ``decode_attention_pallas_q8``."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, _, h, d = q.shape
+    smax = k_q.shape[2]
+    nblk = smax // block_s
+    chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
+    qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
+
+    def kv_map(i, c, j, klen):
+        last = jnp.maximum((klen[i] + block_s - 1) // block_s - 1, 0)
+        return (i, c, jnp.minimum(j, last), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_q8_ragged, scale=scale, block_s=block_s, nblk=nblk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // chunk, nblk),
+            in_specs=[
+                pl.BlockSpec((1, chunk, 1, d), lambda i, c, j, klen: (i, c, 0, 0)),
+                pl.BlockSpec((1, chunk, block_s, d), kv_map),
+                pl.BlockSpec((1, chunk, block_s, 1), kv_map),
+                pl.BlockSpec((1, chunk, block_s, d), kv_map),
+                pl.BlockSpec((1, chunk, block_s, 1), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, chunk, 1, d), lambda i, c, j, klen: (i, c, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, 1), jnp.float32),
+                pltpu.VMEM((chunk, 1), jnp.float32),
+                pltpu.VMEM((chunk, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(kv_len.astype(jnp.int32), qh, k_q, k_s, v_q, v_s)
+    return out.reshape(b, 1, h, d)
 
 
 def _ragged_block(smax: int) -> int | None:

@@ -231,3 +231,26 @@ def test_w4_generate_runs_and_deterministic():
     assert out1.tokens.shape == (b, 5)
     assert bool(jnp.all(jnp.isfinite(out1.hidden.astype(jnp.float32))))
     np.testing.assert_array_equal(np.asarray(out1.tokens), np.asarray(out2.tokens))
+
+
+def test_decode_attention_q8_ragged_matches_dequantized():
+    """Length-aware int8-KV kernel == masked dequantized reference for varied
+    kv_len (sub-block, boundary, full)."""
+    from mmmm_tpu.ops.attention import decode_attention_bhsd
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_q8_ragged
+    from mmmm_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(3)
+    b, h, smax, d = 3, 8, 96, 16
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kv_len = jnp.asarray([7, 64, 96], jnp.int32)
+    got = decode_attention_pallas_q8_ragged(q, kq, ks, vq, vs, kv_len, block_s=32)
+    valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+    want = decode_attention_bhsd(
+        q, dequantize_kv(kq, ks, jnp.float32), dequantize_kv(vq, vs, jnp.float32), valid
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
