@@ -28,8 +28,26 @@ def make_text_generator(
     batch_size: int = 16,
     seq_quant: int = 128,
     attn_impl: str = "auto",
+    continuous: bool = False,
+    max_prompt_len: int = 1024,
 ):
-    """Returns ``generate(prompts: list[str]) -> list[str]``."""
+    """Returns ``generate(prompts: list[str]) -> list[str]``.
+
+    ``continuous=True`` serves through the slot-pool scheduler
+    (``serving.TextServer``): finished sequences are replaced mid-flight, so
+    jobs with varied completion lengths (tagging's early "no findings" exits,
+    judge single-token replies) pay mean length, not max — the property the
+    reference gets from vLLM's continuous batching. Outputs are identical to
+    the static path (greedy, slot-independent)."""
+    if continuous:
+        from .serving import TextServer
+
+        server = TextServer(
+            params, cfg, tokenizer, n_slots=batch_size,
+            max_new_tokens=max_new_tokens, seq_quant=seq_quant,
+            max_prompt_len=max_prompt_len, attn_impl=attn_impl,
+        )
+        return server.generate
 
     def generate(prompts):
         outputs: list[str] = [""] * len(prompts)

@@ -1,0 +1,292 @@
+"""Continuous batching: slot-based decode with in-flight refill.
+
+The reference gets its offline-LLM throughput from vLLM, whose scheduler
+replaces finished sequences inside a running batch (continuous batching)
+instead of waiting for the slowest member (``scripts/data/vg/tag.py:355-359``).
+``models/llm_batch.py`` covers the static-batched equivalent; this module adds
+the scheduler, TPU-style:
+
+  - a fixed pool of ``n_slots`` cache rows (static shapes — one compiled
+    program per stage, no dynamic batch);
+  - greedy decode runs in jitted chunks of ``chunk`` steps over ALL slots
+    (a host round-trip per token would cost ~45 ms through the axon relay;
+    idle slots ride along masked);
+  - between chunks, finished slots are refilled: the next prompts prefill as
+    a (bucketed) sub-batch whose caches scatter into the pool rows
+    (``.at[slot_ids].set``), with per-slot ``kv_len``/``write`` state — the
+    decode kernels already take per-sample lengths, and the ragged decode
+    kernel (``ops/decode_kernel.py``) reads each row only up to its true
+    length, so mixed-age slots cost what they use, not what the pool pads to.
+
+Greedy semantics are identical to ``generate.greedy_generate`` (same
+position-freeze rule for ``<p>``/``</p>``, same eos forcing), so a prompt's
+completion does not depend on which slots or neighbors it shared the pool
+with — asserted by ``tests/test_serving.py``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import MMMMTokenizer
+from ..ops.quant import qdot
+from .cogvlm import CogVLMConfig
+from .cogvlm.decoder import llm_decode_step, llm_prefill
+
+
+def _bucket(n: int, quant: int) -> int:
+    return -(-n // quant) * quant
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    ids: list[int]
+    budget: int
+    out: list[int] = dataclasses.field(default_factory=list)
+
+
+class TextServer:
+    """Continuous-batching greedy text generation over a slot pool.
+
+    ``generate(prompts)`` returns completions in input order; throughput
+    scales with mean (not max) completion length because finished slots are
+    refilled mid-flight.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: CogVLMConfig,
+        tokenizer: MMMMTokenizer,
+        *,
+        n_slots: int = 8,
+        max_new_tokens: int = 128,
+        chunk: int = 16,
+        seq_quant: int = 64,
+        max_prompt_len: int = 512,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.n_slots = n_slots
+        self.max_new = max_new_tokens
+        self.chunk = chunk
+        self.seq_quant = seq_quant
+        self.max_prompt = max_prompt_len
+        self.attn_impl = attn_impl
+        # pool depth: longest prompt + full generation + one chunk of overshoot
+        self.smax = _bucket(max_prompt_len + max_new_tokens + chunk, seq_quant)
+        self._prefill_cache: dict = {}
+        self._decode = None
+        self.stats = {"chunks": 0, "refills": 0, "refilled_mid_flight": 0}
+
+    # ---- jitted stages ----------------------------------------------------
+
+    def _prefill_fn(self, f: int, s: int):
+        """(f prompts padded to s) -> (first tokens, sub caches, last state)."""
+        key = (f, s)
+        if key not in self._prefill_cache:
+            cfg, attn_impl, smax = self.cfg, self.attn_impl, self.smax
+
+            @jax.jit
+            def run(params, ids, prompt_len):
+                b = ids.shape[0]
+                pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+                seg = (pos < prompt_len[:, None]).astype(jnp.int32)
+                tt = jnp.zeros_like(ids)
+                emb = params["llm"]["embed_tokens"][ids]
+                hidden, caches = llm_prefill(
+                    params["llm"], cfg, emb, tt, pos.astype(jnp.int32), seg,
+                    smax=smax, attn_impl=attn_impl,
+                )
+                last = prompt_len - 1
+                take = lambda a: jnp.take_along_axis(
+                    a, last[:, None, None] if a.ndim == 3 else last[:, None], axis=1
+                )
+                last_hidden = take(hidden)[:, 0]
+                logits = qdot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                last_tok = take(ids)[:, 0]
+                return tok0, last_tok, caches
+
+            self._prefill_cache[key] = run
+        return self._prefill_cache[key]
+
+    def _scatter_fn(self):
+        if "scatter" not in self._prefill_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def scatter(caches, sub, slots):
+                def one(big, small):
+                    return big.at[slots].set(small.astype(big.dtype))
+
+                return jax.tree.map(one, caches, sub)
+
+            self._prefill_cache["scatter"] = scatter
+        return self._prefill_cache["scatter"]
+
+    def _decode_fn(self):
+        if self._decode is None:
+            cfg, attn_impl, chunk, smax = self.cfg, self.attn_impl, self.chunk, self.smax
+            eos, bop, eop = (
+                self.tok.eos_token_id, self.tok.bop_token_id, self.tok.eop_token_id,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def run(params, state):
+                b = state["tok"].shape[0]
+
+                def step(st, _):
+                    tok, prev = st["tok"], st["prev_tok"]
+                    keep = (prev == bop) | (tok == eop)
+                    pos = st["pos"] + 1 - keep.astype(st["pos"].dtype)
+                    emb = params["llm"]["embed_tokens"][tok][:, None, :]
+                    tt = jnp.full((b, 2), 0, jnp.int32)
+                    write = jnp.minimum(st["write"], smax - 1)
+                    hidden, caches = llm_decode_step(
+                        params["llm"], cfg, emb, tt, pos[:, None], st["caches"],
+                        write, write + 1, attn_impl=attn_impl,
+                    )
+                    hidden = hidden[:, 0]
+                    logits = qdot(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(st["done"], eos, nxt)
+                    emitted = st["tok"]
+                    new = {
+                        "caches": caches,
+                        "tok": nxt,
+                        "prev_tok": tok,
+                        "pos": pos,
+                        "write": write + 1,
+                        "done": st["done"] | (nxt == eos),
+                    }
+                    return new, emitted
+
+                state, toks = jax.lax.scan(step, state, None, length=chunk)
+                return state, toks.T  # (B, chunk)
+
+            self._decode = run
+        return self._decode
+
+    # ---- host scheduler ---------------------------------------------------
+
+    def generate(
+        self, prompts: list[str], max_new: list[int] | None = None
+    ) -> list[str]:
+        """``max_new`` optionally carries a per-request token budget (defaults
+        to the server's ``max_new_tokens``), as in vLLM's per-request params."""
+        tok = self.tok
+        reqs = []
+        for rid, p in enumerate(prompts):
+            ids = [tok.bos_token_id] + tok.encode(p)
+            if len(ids) > self.max_prompt:
+                ids = ids[: self.max_prompt]
+            budget = min(
+                self.max_new if max_new is None else max_new[rid], self.max_new
+            )
+            reqs.append(_Request(rid, ids, budget))
+        # longest-first: long prompts enter the pool early so the tail of the
+        # run drains short ones
+        queue = sorted(reqs, key=lambda r: -len(r.ids))
+        results: dict[int, list[int]] = {}
+
+        b, smax = self.n_slots, self.smax
+        hd = self.cfg.num_attention_heads, self.cfg.head_dim
+        # pool dtype follows the model's compute dtype (decode writes raw k/v)
+        cdt = self.params["llm"]["embed_tokens"].dtype
+        caches = [
+            (
+                jnp.zeros((b, hd[0], smax, hd[1]), cdt),
+                jnp.zeros((b, hd[0], smax, hd[1]), cdt),
+            )
+            for _ in range(self.cfg.num_hidden_layers)
+        ]
+        state = {
+            "caches": caches,
+            "tok": jnp.zeros((b,), jnp.int32),
+            "prev_tok": jnp.zeros((b,), jnp.int32),
+            "pos": jnp.zeros((b,), jnp.int32),
+            "write": jnp.zeros((b,), jnp.int32),
+            "done": jnp.ones((b,), bool),
+        }
+        slot_req: list[_Request | None] = [None] * b
+        slot_budget = np.zeros(b, np.int64)
+
+        def refill(state):
+            free = [i for i in range(b) if slot_req[i] is None]
+            if not free or not queue:
+                return state
+            self.stats["refills"] += 1
+            if any(r is not None for r in slot_req):
+                # the continuous-batching property: new work entered the pool
+                # while other slots were mid-request
+                self.stats["refilled_mid_flight"] += 1
+            take = [queue.pop(0) for _ in range(min(len(free), len(queue)))]
+            f = _pow2(len(take))
+            s = _bucket(max(len(r.ids) for r in take), self.seq_quant)
+            ids = np.zeros((f, s), np.int32)
+            plen = np.ones((f,), np.int32)
+            for row, r in enumerate(take):
+                ids[row, : len(r.ids)] = r.ids
+                plen[row] = len(r.ids)
+            tok0, last_tok, sub = self._prefill_fn(f, s)(
+                self.params, jnp.asarray(ids), jnp.asarray(plen)
+            )
+            rows = list(range(len(take)))
+            slots = [free[i] for i in rows]
+            sub_rows = jnp.asarray(rows, jnp.int32)
+            slot_ids = jnp.asarray(slots, jnp.int32)
+            sub_taken = jax.tree.map(lambda a: a[sub_rows], sub)
+            new_caches = self._scatter_fn()(state["caches"], sub_taken, slot_ids)
+            tok0_np, last_np = np.asarray(tok0), np.asarray(last_tok)
+            upd = lambda arr, vals: arr.at[slot_ids].set(jnp.asarray(vals))
+            state = {
+                "caches": new_caches,
+                "tok": upd(state["tok"], tok0_np[rows]),
+                "prev_tok": upd(state["prev_tok"], last_np[rows]),
+                "pos": upd(state["pos"], plen[rows] - 1),
+                "write": upd(state["write"], plen[rows]),
+                "done": upd(state["done"], tok0_np[rows] == tok.eos_token_id),
+            }
+            for row, r in enumerate(take):
+                slot_req[slots[row]] = r
+                slot_budget[slots[row]] = r.budget
+            return state
+
+        decode = self._decode_fn()
+        while queue or any(r is not None for r in slot_req):
+            state = refill(state)
+            self.stats["chunks"] += 1
+            state, toks = decode(self.params, state)
+            toks = np.asarray(toks)  # (B, chunk) tokens emitted this chunk
+            for i in range(b):
+                r = slot_req[i]
+                if r is None:
+                    continue
+                for t in toks[i]:
+                    t = int(t)
+                    done = t == tok.eos_token_id
+                    if not done:
+                        r.out.append(t)
+                    if done or len(r.out) >= slot_budget[i]:
+                        results[r.rid] = r.out
+                        slot_req[i] = None
+                        break
+
+        for r in reqs:  # anything still in flight when loop exits
+            if r.rid not in results:
+                results[r.rid] = r.out
+        return [self.tok.decode(results[r.rid]) for r in reqs]

@@ -18,3 +18,14 @@ def test_batch_generate_text():
     # deterministic: same prompt -> same continuation regardless of batch mix
     outs2 = gen([prompts[0]])
     assert outs2[0] == outs[0]
+
+
+def test_continuous_flag_matches_static():
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok)).vlm
+    params = MMMMModel(MMMMConfig.tiny(vocab_size=len(tok))).init(jax.random.PRNGKey(0))["cogvlm"]
+    prompts = ["short", "a much longer prompt with more text", "mid size one"]
+    kw = dict(max_new_tokens=5, batch_size=2, seq_quant=16, attn_impl="xla")
+    static = make_text_generator(params, cfg, tok, **kw)(prompts)
+    cont = make_text_generator(params, cfg, tok, continuous=True, **kw)(prompts)
+    assert cont == static
