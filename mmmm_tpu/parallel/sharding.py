@@ -92,7 +92,9 @@ def _fit_spec(spec: P, leaf, mesh: Mesh) -> P:
     shape = getattr(leaf, "shape", ())
     out = list(spec) + [None] * (len(shape) - len(spec))
     for d, axis in enumerate(out):
-        if axis is not None and shape[d] % mesh.shape[axis]:
+        # drop indivisible dims AND size-1 mesh axes (a spec entry on a
+        # trivial axis shards nothing but blocks ZeRO passes from using the dim)
+        if axis is not None and (shape[d] % mesh.shape[axis] or mesh.shape[axis] == 1):
             out[d] = None
     while out and out[-1] is None:
         out.pop()
@@ -172,6 +174,28 @@ def fsdp_shardings(
             if cand:
                 best = max(cand, key=lambda d: leaf.shape[d])
                 spec[best] = axis
+        # ZeRO over the pipe axis too: leaves NOT staged by the pipeline
+        # (ViT, embeddings, SAM, lm_head) would otherwise replicate per
+        # stage — at 17 B the fp32 ViT master alone is the HBM ceiling.
+        # XLA all-gathers just-in-time per use, exactly like ZeRO over data.
+        if (
+            "pipe" in mesh.axis_names
+            and mesh.shape["pipe"] > 1
+            and "pipe" not in spec
+            and size >= min_size
+            and ndim > 0
+        ):
+            npipe = mesh.shape["pipe"]
+            stacked = re.search(r"/layers/", "/" + path + "/") is not None
+            cand = [
+                d for d in range(ndim)
+                if spec[d] is None
+                and leaf.shape[d] % npipe == 0
+                and not (stacked and d == 0)
+            ]
+            if cand:
+                best = max(cand, key=lambda d: leaf.shape[d])
+                spec[best] = "pipe"
         out.append(NamedSharding(mesh, P(*spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 

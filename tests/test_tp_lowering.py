@@ -142,3 +142,39 @@ def test_17b_serving_forward_lowers_under_tp():
     pb = bytes_per_device(params_a, shardings)
     print(f"17B serving bf16 TP=4: params/device = {pb/2**30:.2f} GiB")
     assert pb < V5E_HBM - 6 * 1024**3
+
+
+@pytest.mark.slow
+def test_17b_train_step_lowers_under_pp_and_fits_v5e():
+    """17 B staged over a pipeline: (pipe=4, data=2) mesh, decoder stack
+    sharded over pipe (8 layers/stage), GPipe schedule in llm_forward. The
+    cross-slice (DCN) scaling story for flagship training — per-device param
+    bytes must still fit v5e."""
+    from mmmm_tpu.parallel import set_pipe_context
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=2, model=1, pipe=4)
+    cfg = _flagship()
+    assert cfg.vlm.num_hidden_layers % 4 == 0
+    model = MMMMModel(cfg)
+    opt = make_optimizer(OptimizerConfig(lr=5e-5, warmup_steps=2000, max_steps=40000))
+    lcfg = LoraConfig(r=64, alpha=8)
+    set_pipe_context(mesh, "pipe", n_micro=2)
+    try:
+        lowered, state_sds, frozen_sds = lower_train_step(
+            model, opt, lcfg, mesh, _train_batch_sds(cfg, mesh),
+            vg_mode="semantic", bf16_vlm=True, attn_impl="xla", remat=True,
+        )
+    finally:
+        set_pipe_context(None)
+    assert lowered is not None
+    state_a, frozen_a = abstract_train_state(model, opt, lcfg)
+    per_dev = (
+        bytes_per_device(frozen_a, fsdp_shardings(frozen_a, mesh))
+        + bytes_per_device(state_a.trainable, fsdp_shardings(state_a.trainable, mesh))
+        + bytes_per_device(state_a.opt_state, fsdp_shardings(state_a.opt_state, mesh))
+    )
+    # pipe stages the 14 GiB of stacked decoder weights 4-way; the per-device
+    # param state must leave headroom for activations on a 16 GiB chip
+    assert per_dev < 12 * 1024**3, f"{per_dev / 2**30:.2f} GiB/device"
