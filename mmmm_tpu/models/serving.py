@@ -103,7 +103,6 @@ class TextServer:
 
             @jax.jit
             def run(params, ids, prompt_len):
-                b = ids.shape[0]
                 pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
                 seg = (pos < prompt_len[:, None]).astype(jnp.int32)
                 tt = jnp.zeros_like(ids)

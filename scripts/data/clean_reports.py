@@ -182,6 +182,8 @@ def main(argv=None):
     ap.add_argument("--config", help="CogVLMConfig yaml/json for --params")
     ap.add_argument("--tokenizer", help="tokenizer path for --params")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
+    ap.add_argument("--continuous", action="store_true",
+                    help="slot-pool continuous batching (mid-flight refill)")
     args = ap.parse_args(argv)
 
     if args.rule_based:
@@ -197,7 +199,8 @@ def main(argv=None):
         tok = (MMMMTokenizer.from_pretrained(args.tokenizer) if args.tokenizer
                else MMMMTokenizer.byte_fallback())
         params = load_params(args.params)
-        fn = make_text_generator(params, cfg, tok, max_new_tokens=args.max_new_tokens)
+        fn = make_text_generator(params, cfg, tok, max_new_tokens=args.max_new_tokens,
+                                 continuous=args.continuous)
         name = "llm"
     else:
         ap.error("pass --rule-based or --params")

@@ -108,6 +108,8 @@ def main(argv=None):
     ap.add_argument("--config", help="CogVLMConfig yaml/json for --params")
     ap.add_argument("--tokenizer", help="tokenizer path for --params")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
+    ap.add_argument("--continuous", action="store_true",
+                    help="slot-pool continuous batching (mid-flight refill)")
     args = ap.parse_args(argv)
 
     generate_fn = None
@@ -124,7 +126,8 @@ def main(argv=None):
         tok = (MMMMTokenizer.from_pretrained(args.tokenizer) if args.tokenizer
                else MMMMTokenizer.byte_fallback())
         generate_fn = make_text_generator(
-            load_params(args.params), cfg, tok, max_new_tokens=args.max_new_tokens
+            load_params(args.params), cfg, tok, max_new_tokens=args.max_new_tokens,
+            continuous=args.continuous,
         )
     tag_dataset(Path(args.dir), args.split, Path(args.out), generate_fn)
 
