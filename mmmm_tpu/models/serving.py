@@ -289,3 +289,329 @@ class TextServer:
             if r.rid not in results:
                 results[r.rid] = r.out
         return [self.tok.decode(results[r.rid]) for r in reqs]
+
+
+class GroundedServer:
+    """Continuous batching for the FULL grounded-report path.
+
+    The multimodal sibling of ``TextServer``: requests are (image, prompt)
+    pairs; refill runs the EVA ViT + LLM prefill over the joining sub-batch
+    and scatters their caches into the slot pool; decode runs in jitted
+    chunks with a device-resident hidden ring buffer (B, max_new, C) — the
+    per-step hidden states SAM prompting needs stay on-device instead of
+    streaming through the slow host link; when a request finishes, its
+    ``</p>`` positions are parsed on host and the SAM semantic pass runs over
+    the finished group, gathered straight from the ring buffer.
+
+    One server instance serves one static image/prompt-bucket family (the
+    deployment norm: fixed preprocessing), so every stage compiles once.
+    Greedy semantics match ``inference.generate_grounded`` exactly — asserted
+    by ``tests/test_serving.py::test_grounded_server_matches_batch``.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg,  # MMMMConfig
+        tokenizer: MMMMTokenizer,
+        *,
+        patch_size,
+        pool_size,
+        n_vis: int,
+        n_slots: int = 8,
+        max_new_tokens: int = 128,
+        chunk: int = 16,
+        seq_quant: int = 32,
+        max_prompt_len: int = 256,
+        max_targets: int = 8,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.patch = tuple(patch_size)
+        self.pool = tuple(pool_size)
+        self.n_vis = n_vis
+        self.n_slots = n_slots
+        self.max_new = max_new_tokens
+        self.chunk = chunk
+        self.seq_quant = seq_quant
+        self.max_prompt = max_prompt_len
+        self.max_targets = max_targets
+        self.attn_impl = attn_impl
+        self.smax = _bucket(max_prompt_len + max_new_tokens + chunk, seq_quant)
+        self._jit: dict = {}
+        self.stats = {"chunks": 0, "refills": 0, "refilled_mid_flight": 0}
+
+    # ---- jitted stages ----------------------------------------------------
+
+    def _prefill(self, f: int, s: int):
+        key = ("prefill", f, s)
+        if key not in self._jit:
+            from .cogvlm.model import splice_vision_embeds
+            from .cogvlm.vit import vit_forward
+
+            cfg, smax, attn_impl = self.cfg, self.smax, self.attn_impl
+            patch, pool, n_vis = self.patch, self.pool, self.n_vis
+
+            @jax.jit
+            def run(params, ids, tt, pos, prompt_len, image):
+                emb = params["cogvlm"]["llm"]["embed_tokens"][ids]
+                vis = vit_forward(
+                    params["cogvlm"]["vision"], cfg.vlm, image, patch, pool,
+                    attn_impl=attn_impl,
+                )
+                emb = splice_vision_embeds(emb, vis)
+                seg = (
+                    jnp.arange(ids.shape[1])[None] < prompt_len[:, None]
+                ).astype(jnp.int32)
+                hidden, caches = llm_prefill(
+                    params["cogvlm"]["llm"], cfg.vlm, emb, tt, pos, seg,
+                    smax=smax, attn_impl=attn_impl, vis_span=(1, 1 + n_vis),
+                )
+                last = prompt_len - 1
+                take = lambda a: jnp.take_along_axis(
+                    a, last[:, None, None] if a.ndim == 3 else last[:, None], axis=1
+                )
+                last_hidden = take(hidden)[:, 0]
+                logits = qdot(
+                    last_hidden, params["cogvlm"]["llm"]["lm_head"]
+                ).astype(jnp.float32)
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return tok0, take(ids)[:, 0], take(pos)[:, 0], last_hidden, caches
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def _scatter(self):
+        if "scatter" not in self._jit:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def scatter(pool_state, sub, slots):
+                return jax.tree.map(
+                    lambda big, small: big.at[slots].set(small.astype(big.dtype)),
+                    pool_state, sub,
+                )
+
+            self._jit["scatter"] = scatter
+        return self._jit["scatter"]
+
+    def _decode(self):
+        if "decode" not in self._jit:
+            cfg, attn_impl, chunk, smax = self.cfg, self.attn_impl, self.chunk, self.smax
+            max_new = self.max_new
+            eos, bop, eop = (
+                self.tok.eos_token_id, self.tok.bop_token_id, self.tok.eop_token_id,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def run(params, state):
+                b = state["tok"].shape[0]
+
+                def step(st, _):
+                    tok, prev = st["tok"], st["prev_tok"]
+                    keep = (prev == bop) | (tok == eop)
+                    pos = st["pos"] + 1 - keep.astype(st["pos"].dtype)
+                    emb = params["cogvlm"]["llm"]["embed_tokens"][tok][:, None, :]
+                    tt = jnp.zeros((b, 2), jnp.int32)
+                    write = jnp.minimum(st["write"], smax - 1)
+                    hidden, caches = llm_decode_step(
+                        params["cogvlm"]["llm"], cfg.vlm, emb, tt, pos[:, None],
+                        st["caches"], write, write + 1, attn_impl=attn_impl,
+                    )
+                    hidden = hidden[:, 0]
+                    logits = qdot(
+                        hidden, params["cogvlm"]["llm"]["lm_head"]
+                    ).astype(jnp.float32)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(st["done"], eos, nxt)
+                    emitted = st["tok"]
+                    # ring buffer: hidden produced token (cnt+1); slot cnt+1
+                    cnt = jnp.minimum(st["cnt"] + 1, max_new - 1)
+                    hbuf = jax.vmap(
+                        lambda buf, h, i: jax.lax.dynamic_update_slice_in_dim(
+                            buf, h[None].astype(buf.dtype), i, 0
+                        )
+                    )(st["hbuf"], hidden, cnt)
+                    new = {
+                        "caches": caches, "tok": nxt, "prev_tok": tok, "pos": pos,
+                        "write": write + 1, "done": st["done"] | (nxt == eos),
+                        "cnt": cnt, "hbuf": hbuf,
+                    }
+                    return new, emitted
+
+                state, toks = jax.lax.scan(step, state, None, length=chunk)
+                return state, toks.T
+
+            self._jit["decode"] = run
+        return self._jit["decode"]
+
+    def _ground(self, f: int):
+        key = ("ground", f)
+        if key not in self._jit:
+            from .mmmm import vg_project
+            from .segvol import sam_forward
+
+            cfg, patch, attn_impl = self.cfg, self.patch, self.attn_impl
+
+            @jax.jit
+            def run(params, hbuf, slots, positions, g_image):
+                hidden = hbuf[slots].astype(jnp.float32)  # (F, max_new, C)
+                gathered = jnp.take_along_axis(hidden, positions[..., None], axis=1)
+                prompts = vg_project(params, gathered)
+                masks, _ = sam_forward(
+                    params["sam"], cfg.sam, g_image.astype(jnp.float32), patch,
+                    prompts, attn_impl=attn_impl,
+                )
+                return masks
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    # ---- host scheduler ---------------------------------------------------
+
+    def generate(self, requests: list[dict], fetch_grounding: bool = True):
+        """``requests``: dicts with input_ids/token_type_ids/position_ids
+        (1-D numpy, unpadded), image (C, D, H, W), optional grounding_image.
+        Returns a list of dicts {text, tokens, targets, masks} in order."""
+        tok = self.tok
+        queue = sorted(range(len(requests)), key=lambda i: -len(requests[i]["input_ids"]))
+        results: list[dict | None] = [None] * len(requests)
+
+        b, smax, c = self.n_slots, self.smax, self.cfg.vlm.hidden_size
+        hd = self.cfg.vlm.num_attention_heads, self.cfg.vlm.head_dim
+        cdt = self.params["cogvlm"]["llm"]["embed_tokens"].dtype
+        state = {
+            "caches": [
+                (jnp.zeros((b, hd[0], smax, hd[1]), cdt),
+                 jnp.zeros((b, hd[0], smax, hd[1]), cdt))
+                for _ in range(self.cfg.vlm.num_hidden_layers)
+            ],
+            "tok": jnp.zeros((b,), jnp.int32),
+            "prev_tok": jnp.zeros((b,), jnp.int32),
+            "pos": jnp.zeros((b,), jnp.int32),
+            "write": jnp.zeros((b,), jnp.int32),
+            "done": jnp.ones((b,), bool),
+            "cnt": jnp.zeros((b,), jnp.int32),
+            "hbuf": jnp.zeros((b, self.max_new, c), cdt),
+        }
+        slot_rid: list[int | None] = [None] * b
+        slot_out: list[list[int]] = [[] for _ in range(b)]
+
+        def refill(state):
+            free = [i for i in range(b) if slot_rid[i] is None]
+            if not free or not queue:
+                return state
+            self.stats["refills"] += 1
+            if any(r is not None for r in slot_rid):
+                self.stats["refilled_mid_flight"] += 1
+            take = [queue.pop(0) for _ in range(min(len(free), len(queue)))]
+            f = _pow2(len(take))
+            s = _bucket(
+                max(len(requests[r]["input_ids"]) for r in take), self.seq_quant
+            )
+            ids = np.zeros((f, s), np.int32)
+            tt = np.zeros((f, s), np.int32)
+            pos = np.zeros((f, s), np.int32)
+            plen = np.ones((f,), np.int32)
+            img_shape = requests[take[0]]["image"].shape
+            imgs = np.zeros((f, *img_shape), np.float32)
+            for row, r in enumerate(take):
+                req = requests[r]
+                L = len(req["input_ids"])
+                ids[row, :L] = req["input_ids"]
+                tt[row, :L] = req["token_type_ids"]
+                pos[row, :L] = req["position_ids"]
+                plen[row] = L
+                imgs[row] = req["image"]
+            tok0, last_tok, last_pos, last_hidden, sub_caches = self._prefill(f, s)(
+                self.params, jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(pos),
+                jnp.asarray(plen), jnp.asarray(imgs, cdt),
+            )
+            rows = jnp.arange(len(take))
+            slots = jnp.asarray([free[i] for i in range(len(take))], jnp.int32)
+            sub = {
+                "caches": jax.tree.map(lambda a: a[rows], sub_caches),
+                "tok": tok0[rows], "prev_tok": last_tok[rows], "pos": last_pos[rows],
+                "write": jnp.asarray(plen)[rows],
+                "done": (tok0 == tok.eos_token_id)[rows],
+                "cnt": jnp.zeros((len(take),), jnp.int32),
+                "hbuf": jnp.zeros((len(take), self.max_new, c), cdt).at[:, 0].set(
+                    last_hidden[rows].astype(cdt)
+                ),
+            }
+            state = self._scatter()(state, sub, slots)
+            for row, r in enumerate(take):
+                slot_rid[int(slots[row])] = r
+                slot_out[int(slots[row])] = []
+            return state
+
+        decode = self._decode()
+        pending_ground: list[tuple[int, int]] = []  # (rid, slot) awaiting SAM
+
+        def flush_ground(state):
+            if not pending_ground:
+                return
+            f = _pow2(len(pending_ground))
+            group = pending_ground[: f if f <= len(pending_ground) else len(pending_ground)]
+            del pending_ground[: len(group)]
+            fpad = _pow2(len(group))
+            positions = np.zeros((fpad, self.max_targets), np.int64)
+            valid = np.zeros((fpad, self.max_targets), bool)
+            slots_np = np.zeros((fpad,), np.int32)
+            g_shape = None
+            g_imgs = None
+            for row, (rid, slot) in enumerate(group):
+                slots_np[row] = slot
+                out = np.asarray(results[rid]["tokens"])
+                (eops,) = np.nonzero(out == tok.eop_token_id)
+                eops = eops[: self.max_targets]
+                positions[row, : len(eops)] = eops
+                valid[row, : len(eops)] = True
+                gi = requests[rid].get("grounding_image")
+                if gi is not None:
+                    if g_imgs is None:
+                        g_shape = gi.shape
+                        g_imgs = np.zeros((fpad, *g_shape), np.float32)
+                    g_imgs[row] = gi
+            if g_imgs is None:
+                return
+            masks = self._ground(fpad)(
+                self.params, state["hbuf"], jnp.asarray(slots_np),
+                jnp.asarray(positions), jnp.asarray(g_imgs),
+            )
+            masks_np = np.asarray(masks) if fetch_grounding else masks
+            for row, (rid, slot) in enumerate(group):
+                results[rid]["masks"] = (
+                    masks_np[row] if fetch_grounding else masks_np
+                )
+                results[rid]["target_valid"] = valid[row]
+
+        while queue or any(r is not None for r in slot_rid):
+            state = refill(state)
+            self.stats["chunks"] += 1
+            state, toks = decode(self.params, state)
+            toks = np.asarray(toks)
+            for i in range(b):
+                rid = slot_rid[i]
+                if rid is None:
+                    continue
+                for t in toks[i]:
+                    t = int(t)
+                    done = t == tok.eos_token_id
+                    if not done:
+                        slot_out[i].append(t)
+                    if done or len(slot_out[i]) >= self.max_new:
+                        out = np.asarray(slot_out[i], np.int64)
+                        results[rid] = {
+                            "tokens": out,
+                            "text": tok.decode([int(x) for x in out]),
+                            "targets": tok.parse_targets(out[None])[0],
+                        }
+                        pending_ground.append((rid, i))
+                        slot_rid[i] = None
+                        break
+            # ground finished requests BEFORE their slots are refilled (the
+            # ring buffer row is reused by the next occupant)
+            flush_ground(state)
+        return results

@@ -57,3 +57,68 @@ def test_server_refills_mid_flight():
     assert server.stats["refilled_mid_flight"] >= 1
     # 24 total tokens / (2 slots x 2/chunk) = 6 ideal chunks; allow bubbles
     assert server.stats["chunks"] <= 12
+
+
+def test_grounded_server_matches_batch_path():
+    """GroundedServer (continuous multimodal serving) produces the same texts
+    and SAM masks as the one-shot generate_grounded batch path."""
+    import numpy as _np
+
+    from mmmm_tpu.models.inference import generate_grounded
+    from mmmm_tpu.models.serving import GroundedServer
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    rng = _np.random.default_rng(0)
+
+    n_vis = 1 * 4 * 4 + 2  # (3,4,16,16) image, patch 4, pool 1 -> 16 tokens + boi/eoi
+    patch, pool = (4, 4, 4), (1, 1, 1)
+    b = 5
+    reqs = []
+    for i in range(b):
+        text_len = 6 + 3 * i
+        s = 1 + n_vis + text_len
+        ids = _np.concatenate([
+            [1], _np.full(n_vis, 3), rng.integers(4, 250, size=text_len)
+        ]).astype(_np.int32)
+        tt = _np.zeros(s, _np.int32)
+        tt[1 : 1 + n_vis] = 1
+        pos = _np.concatenate([
+            [0, 1], _np.full(n_vis - 2, 2), [3], _np.arange(4, 4 + text_len)
+        ]).astype(_np.int32)
+        reqs.append({
+            "input_ids": ids, "token_type_ids": tt, "position_ids": pos,
+            "image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
+            "grounding_image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
+        })
+
+    # reference: one batched generate_grounded over all requests (right-pad)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    pad = lambda k: _np.stack([
+        _np.pad(r[k], (0, smax - len(r[k]))) for r in reqs
+    ])
+    ref = generate_grounded(
+        params, cfg, tok,
+        jnp.asarray(pad("input_ids")), jnp.asarray(pad("token_type_ids")),
+        jnp.asarray(pad("position_ids")),
+        jnp.asarray([len(r["input_ids"]) for r in reqs]),
+        jnp.asarray(_np.stack([r["image"] for r in reqs])), patch, pool,
+        max_new_tokens=6, max_targets=2,
+        grounding_image=jnp.asarray(_np.stack([r["grounding_image"] for r in reqs])),
+        force_grounding=True, vis_span=(1, 1 + n_vis), attn_impl="xla",
+    )
+
+    server = GroundedServer(
+        params, cfg, tok, patch_size=patch, pool_size=pool, n_vis=n_vis,
+        n_slots=2, max_new_tokens=6, chunk=3, seq_quant=16,
+        max_prompt_len=smax, max_targets=2, attn_impl="xla",
+    )
+    out = server.generate(reqs)
+
+    assert [o["text"] for o in out] == ref.text
+    assert server.stats["refills"] >= 2
+    for i in range(b):
+        _np.testing.assert_allclose(
+            _np.asarray(out[i]["masks"]), _np.asarray(ref.masks)[i], atol=2e-4
+        )
