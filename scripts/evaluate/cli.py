@@ -124,6 +124,50 @@ def cmd_predict(args):
         groups.setdefault(rec[0], []).append(idx)
     import numpy as _np
 
+    if getattr(args, "continuous", False):
+        # slot-pool scheduler: requests of one (image, patch, pool) family
+        # stream through a GroundedServer — finished rows refill mid-flight,
+        # so mixed answer lengths pay mean, not max
+        from mmmm_tpu.models.serving import GroundedServer
+
+        img_groups: dict = {}
+        for idx, rec in enumerate(prepared):
+            img_groups.setdefault(rec[0][:3], []).append(idx)
+        for (img_shape, patch, pool), idxs in img_groups.items():
+            n_vis = prepared[idxs[0]][3].token_type_ids.count(1) if isinstance(
+                prepared[idxs[0]][3].token_type_ids, list
+            ) else int(_np.sum(_np.asarray(prepared[idxs[0]][3].token_type_ids) == 1))
+            server = GroundedServer(
+                params, model.cfg, tokenizer, patch_size=patch, pool_size=pool,
+                n_vis=n_vis, n_slots=batch_n,
+                max_new_tokens=args.max_new_tokens,
+                max_prompt_len=max(prepared[i][4] for i in idxs),
+            )
+            reqs = [
+                {
+                    "input_ids": _np.asarray(prepared[i][3].input_ids, _np.int32),
+                    "token_type_ids": _np.asarray(prepared[i][3].token_type_ids, _np.int32),
+                    "position_ids": _np.asarray(prepared[i][3].position_ids, _np.int32),
+                    "image": _np.asarray(prepared[i][2], _np.float32),
+                }
+                for i in idxs
+            ]
+            outs = server.generate(reqs)
+            for i, o in zip(idxs, outs):
+                item = prepared[i][1]
+                rows[i] = {
+                    "question": item["question"], "answer": item["answer"],
+                    "prediction": o["text"],
+                }
+                print(f"[{i}] {o['text'][:60]!r}", flush=True)
+        rows = [r for r in rows if r is not None]
+        with open(args.output, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=["question", "answer", "prediction"])
+            writer.writeheader()
+            writer.writerows(rows)
+        print(f"wrote {len(rows)} predictions to {args.output}")
+        return
+
     for key, idxs in groups.items():
         _, patch, pool, bucket = key
         for start in range(0, len(idxs), batch_n):
@@ -268,6 +312,8 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--batch", type=int, default=8,
                    help="rows per compiled generate (bucketed by image/prompt shape)")
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-pool continuous batching (GroundedServer)")
     p.set_defaults(func=cmd_predict)
     b = sub.add_parser("predict-baseline")
     b.add_argument("--model", required=True,

@@ -43,6 +43,17 @@ def test_predict_and_evaluate(tmp_path):
     assert len(rows) == 2
     assert rows[0]["answer"] == "yes"
 
+    # continuous serving path: identical predictions
+    pred_csv2 = tmp_path / "pred2.csv"
+    eval_cli.main([
+        "predict", "-c", str(Path(__file__).parent.parent / "conf/tiny/fit.yaml"),
+        "--task", "vqa", "--dataset-dir", str(ds),
+        "--output", str(pred_csv2), "--max-new-tokens", "4", "--continuous",
+        "--batch", "2",
+    ])
+    rows2 = list(csv.DictReader(pred_csv2.open()))
+    assert [r["prediction"] for r in rows2] == [r["prediction"] for r in rows]
+
     out_json = tmp_path / "metrics.json"
     eval_cli.main([
         "evaluate", "--input", str(pred_csv), "--suite", "all", "--output", str(out_json),
