@@ -31,6 +31,19 @@ from ...ops.resample import resample_nd, variable_patch_embed_3d
 from .config import CogVLMConfig, VisionConfig
 
 
+
+# serving knob: the EVA reference uses exact (erf) GELU; the tanh
+# approximation measured ~69 ms cheaper per 24-image prefill on v5e (erf
+# lowers to a long VPU polynomial). Off by default — parity first; serving
+# can opt in (max |err| ~3e-4 on N(0,1) activations, argmax-stable in bf16).
+import os as _os
+
+_FAST_GELU = _os.environ.get("MMMM_FAST_GELU", "0") == "1"
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=_FAST_GELU)
+
 def init_vit_params(key, cfg: CogVLMConfig, dtype=jnp.float32) -> dict:
     v = cfg.vision
     ks = iter(jax.random.split(key, 24))
@@ -94,7 +107,7 @@ def _vit_layer(x, lp, *, num_heads: int, eps: float, segments, attn_impl: str):
     attn = jnp.dot(attn.reshape(b, s, num_heads * head_dim), lp["dense_w"]) + lp["dense_b"]
     x = x + layer_norm(attn, lp["ln1_w"], lp["ln1_b"], eps)
     # MLP sublayer, post-norm
-    h = jax.nn.gelu(jnp.dot(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    h = _gelu(jnp.dot(x, lp["fc1_w"]) + lp["fc1_b"])
     h = jnp.dot(h, lp["fc2_w"]) + lp["fc2_b"]
     x = x + layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
     return x
@@ -177,7 +190,7 @@ def vit_forward(
 
     g = params["glu"]
     x = jnp.dot(x, g["linear_proj"])
-    x = jax.nn.gelu(layer_norm(x, g["ln_w"], g["ln_b"]), approximate=False)
+    x = _gelu(layer_norm(x, g["ln_w"], g["ln_b"]))
     x = jax.nn.silu(jnp.dot(x, g["gate"])) * jnp.dot(x, g["h4h"])
     x = jnp.dot(x, g["4hh"])
     boi = jnp.broadcast_to(params["boi"].astype(x.dtype)[None, None], (b, 1, x.shape[-1]))
