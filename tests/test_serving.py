@@ -122,3 +122,17 @@ def test_grounded_server_matches_batch_path():
         _np.testing.assert_allclose(
             _np.asarray(out[i]["masks"]), _np.asarray(ref.masks)[i], atol=2e-4
         )
+
+
+def test_text_server_with_w8a16_params():
+    """Continuous batching over int8-quantized serving weights (the
+    production mode) == static quantized generation."""
+    from mmmm_tpu.ops.quant import quantize_llm_for_serving
+
+    tok, cfg, params = _setup()
+    qparams = quantize_llm_for_serving(params)
+    prompts = ["alpha", "a longer beta prompt", "gamma!"]
+    kw = dict(max_new_tokens=5, batch_size=2, seq_quant=16, attn_impl="xla")
+    static = make_text_generator(qparams, cfg, tok, **kw)(prompts)
+    cont = make_text_generator(qparams, cfg, tok, continuous=True, **kw)(prompts)
+    assert cont == static
