@@ -51,6 +51,11 @@ V5E_PEAK_BF16 = 197e12
 # 8.18 vs 7.21 rep/s); int8 is the long-context option (cache reads scale
 # with S, dequant cost doesn't).
 KV_DTYPE = os.environ.get("MMMM_BENCH_KV", "bf16")  # "bf16" | "int8"
+# N-gram speculative decoding draft length (0 = greedy). Token-identical to
+# greedy by construction; the acceptance rate on THIS bench is unrepresentative
+# (random weights either cycle — inflating it — or emit noise), so treat
+# spec numbers as a verify-step-cost probe, not a serving headline.
+SPEC = int(os.environ.get("MMMM_BENCH_SPEC", "0"))
 
 
 def _bench_cfg():
@@ -229,6 +234,7 @@ def build():
             # int8 KV cache: decode is HBM-bound; per-slot-quantized caches
             # halve the dominant read stream (ops/quant.quantize_kv)
             kv_cache_dtype=KV_DTYPE,
+            spec_draft_len=SPEC,
         )
         # fence the mask computation with an on-device scalar reduction: the
         # axon relay fetches at ~10 MB/s, so pulling the full (B, N, D, H, W)

@@ -162,12 +162,18 @@ def _decoder_layer(
         # caches live in the decode-friendly (B, H, Smax, D) layout; either a
         # (k, v) bf16 pair or an int8-quantized dict {"kq","ks","vq","vs"}
         # (per-slot scales) — int8 halves the bandwidth-bound cache reads
-        kv_cache, write_index, kv_len = cache  # write_index/kv_len: (B,)
+        # write_index: (B,). kv_len: (B,) single-token, or (B, Sq) per-window-
+        # position valid lengths (speculative verify: position j attends slots
+        # < write_index + j + 1 — causal within the window, full to the prefix)
+        kv_cache, write_index, kv_len = cache
         upd = jax.vmap(  # per sample: (H, Smax, ...) updated at slot axis 1
             lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
         )
-        use_pallas = attn_impl == "pallas" or (
-            attn_impl == "auto" and jax.default_backend() == "tpu"
+        # the Pallas decode kernels are single-token; k-token verify windows
+        # take the XLA bhsd path (logits (B, H, k, Smax) — modest at decode S)
+        use_pallas = s == 1 and (
+            attn_impl == "pallas"
+            or (attn_impl == "auto" and jax.default_backend() == "tpu")
         )
         if isinstance(kv_cache, dict):
             from ...ops.quant import dequantize_kv, quantize_kv
@@ -189,7 +195,7 @@ def _decoder_layer(
                 )
             else:
                 smax = new_cache["kq"].shape[2]
-                valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+                valid = jnp.arange(smax)[None, :] < kv_len[..., None]
                 ctx = decode_attention_bhsd(
                     q,
                     dequantize_kv(new_cache["kq"], new_cache["ks"], k.dtype),
@@ -206,7 +212,7 @@ def _decoder_layer(
                 ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
             else:
                 smax = k_cache.shape[2]
-                valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+                valid = jnp.arange(smax)[None, :] < kv_len[..., None]
                 ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)
             new_cache = (k_cache, v_cache)
     ctx = ctx.reshape(b, s, c)
@@ -381,19 +387,24 @@ def llm_prefill(
 def llm_decode_step(
     params: dict,
     cfg: CogVLMConfig,
-    inputs_embeds: jnp.ndarray,  # (B, 1, C)
-    token_type_ids: jnp.ndarray,  # (B, 2): (current, next) types for the expert quirk
-    position_ids: jnp.ndarray,  # (B, 1)
+    inputs_embeds: jnp.ndarray,  # (B, Sq, C): Sq=1 decode, Sq=k verify window
+    token_type_ids: jnp.ndarray | None,  # unused (decode is provably lang-only)
+    position_ids: jnp.ndarray,  # (B, Sq)
     kv_caches: list,  # per-layer (k, v) bf16 pairs (B, H, Smax, D) OR int8 dicts {"kq","ks","vq","vs"}
-    write_index: jnp.ndarray,  # (B,) cache slot for this token
-    kv_len: jnp.ndarray,  # (B,) number of valid slots including this token
+    write_index: jnp.ndarray,  # (B,) first cache slot for this window
+    kv_len: jnp.ndarray,  # (B,) valid slots incl. this token; or (B, Sq) per window position
     attn_impl: str = "auto",
 ):
-    """Single-token decode against static KV caches; returns (hidden, caches).
+    """Decode one token — or verify a k-token speculative window — against
+    static KV caches; returns (hidden (B, Sq, C), caches).
 
     The expert mask for a decoded token is provably all-False (its successor
-    is always language-typed), so the layer statically runs the language
-    expert only — halving per-step weight reads (``lang_only=True``).
+    is always language-typed; drafts are generated tokens too), so the layer
+    statically runs the language expert only — halving per-step weight reads
+    (``lang_only=True``). A k-token window costs the same weight reads as a
+    single-token step — the basis of the speculative-decode speedup
+    (``models/speculate.py``); pass ``kv_len[b, j] = write_index[b] + j + 1``
+    so window position j is causal within the window.
 
     ``kv_caches`` is a per-layer list of (k, v) pairs, each (B, H, Smax, D):
     the layer loop is unrolled (not scanned) so every cache update is a

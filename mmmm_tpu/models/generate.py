@@ -35,7 +35,7 @@ class GenerateResult:
     num_generated: jnp.ndarray  # (B,) tokens before (and including) eos
 
 
-def greedy_generate(
+def prefill_decode_state(
     params: dict,
     cfg: CogVLMConfig,
     input_ids: jnp.ndarray,  # (B, S_prompt) right-padded prompt
@@ -43,19 +43,23 @@ def greedy_generate(
     position_ids: jnp.ndarray,  # (B, S_prompt)
     prompt_len: jnp.ndarray,  # (B,) true prompt lengths
     *,
-    max_new_tokens: int,
+    smax: int,
     eos_token_id: int,
-    bop_token_id: int,
-    eop_token_id: int,
     image: jnp.ndarray | None = None,
     patch_size=None,
     pool_size=None,
     attn_impl: str = "auto",
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
-) -> GenerateResult:
+):
+    """Prefill the multimodal prompt and build the initial decode-loop state.
+
+    Shared by the greedy scan (below) and the speculative verify loop
+    (``models/speculate.py``). Returns ``(state, prefill_hidden, last_hidden)``
+    where ``state`` carries the per-layer caches sized to ``smax`` slots, the
+    first generated token, and the <p>-freeze position bookkeeping.
+    """
     b, s_prompt = input_ids.shape
-    smax = s_prompt + max_new_tokens
     segments = (jnp.arange(s_prompt)[None, :] < prompt_len[:, None]).astype(jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
@@ -90,6 +94,35 @@ def greedy_generate(
         "write": prompt_len,  # cache slot for the fed token
         "done": tok0 == eos_token_id,
     }
+    return state, hidden, last_hidden
+
+
+def greedy_generate(
+    params: dict,
+    cfg: CogVLMConfig,
+    input_ids: jnp.ndarray,  # (B, S_prompt) right-padded prompt
+    token_type_ids: jnp.ndarray,  # (B, S_prompt)
+    position_ids: jnp.ndarray,  # (B, S_prompt)
+    prompt_len: jnp.ndarray,  # (B,) true prompt lengths
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    bop_token_id: int,
+    eop_token_id: int,
+    image: jnp.ndarray | None = None,
+    patch_size=None,
+    pool_size=None,
+    attn_impl: str = "auto",
+    vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
+) -> GenerateResult:
+    b, s_prompt = input_ids.shape
+    state, hidden, last_hidden = prefill_decode_state(
+        params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
+        smax=s_prompt + max_new_tokens, eos_token_id=eos_token_id,
+        image=image, patch_size=patch_size, pool_size=pool_size,
+        attn_impl=attn_impl, vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
+    )
 
     def step(state, _):
         tok, prev = state["tok"], state["prev_tok"]

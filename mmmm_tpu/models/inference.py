@@ -39,16 +39,28 @@ def _generate_stage(
     has_image: bool,
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
+    spec_draft_len: int = 0,
 ):
     """Jitted first stage: the full prefill + decode scan.
 
     ``greedy_generate`` is pure jnp; without a jit wrapper its prefill
     (ViT + LLM forward, hundreds of primitives) dispatches eagerly — fine on
     a local chip, ~45 ms per op through the axon relay. Compiles once per
-    (config, generation-params) bucket."""
+    (config, generation-params) bucket.
+
+    ``spec_draft_len > 0`` routes the decode loop through n-gram speculative
+    verification (``models/speculate.py``) — token-identical to greedy."""
 
     def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
-        res = greedy_generate(
+        if spec_draft_len > 0:
+            from .speculate import ngram_speculative_generate
+
+            gen_fn = functools.partial(
+                ngram_speculative_generate, draft_len=spec_draft_len
+            )
+        else:
+            gen_fn = greedy_generate
+        res = gen_fn(
             params["cogvlm"], cfg.vlm, input_ids, token_type_ids, position_ids,
             prompt_len, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
             bop_token_id=bop_token_id, eop_token_id=eop_token_id,
@@ -131,6 +143,7 @@ def generate_grounded(
     force_grounding: bool = False,
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
+    spec_draft_len: int = 0,
 ) -> GroundedResult:
     gen = _generate_stage(
         cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
@@ -139,7 +152,7 @@ def generate_grounded(
         tuple(pool_size) if pool_size is not None else None,
         attn_impl, image is not None,
         tuple(vis_span) if vis_span is not None else None,
-        kv_cache_dtype,
+        kv_cache_dtype, spec_draft_len,
     )
     res = gen(params, input_ids, token_type_ids, position_ids, prompt_len, image)
     tokens = np.asarray(res.tokens)

@@ -202,10 +202,10 @@ def decode_attention(
 
 
 def decode_attention_bhsd(
-    q: jnp.ndarray,  # (B, 1, H, D)
+    q: jnp.ndarray,  # (B, Sq, H, D) — Sq=1 single-token, Sq=k verify window
     k_cache: jnp.ndarray,  # (B, H, Smax, D) — decode-friendly layout
     v_cache: jnp.ndarray,  # (B, H, Smax, D)
-    kv_valid: jnp.ndarray,  # (B, Smax)
+    kv_valid: jnp.ndarray,  # (B, Smax), or (B, Sq, Smax) per-query validity
     *,
     scale: float | None = None,
 ) -> jnp.ndarray:
@@ -214,13 +214,18 @@ def decode_attention_bhsd(
     With (b, h) as leading batch dims and d minor, the contraction needs no
     physical cache transpose per step — measured 66% of decode time came from
     attention with the (B, S, H, D) layout.
+
+    A 3-D ``kv_valid`` gives each query position its own cache-slot mask —
+    the speculative-decode verify window, where window position j may attend
+    only slots < write_index + j + 1 (causal within the window).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    qh = jnp.swapaxes(q, 1, 2)  # (B, H, 1, D)
+    qh = jnp.swapaxes(q, 1, 2)  # (B, H, Sq, D)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, k_cache, preferred_element_type=jnp.float32)
     logits = logits * scale
-    logits = jnp.where(kv_valid[:, None, None, :], logits, NEG_INF)
+    mask = kv_valid[:, None, None, :] if kv_valid.ndim == 2 else kv_valid[:, None, :, :]
+    logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache)
-    return jnp.swapaxes(out, 1, 2)  # (B, 1, H, D)
+    return jnp.swapaxes(out, 1, 2)  # (B, Sq, H, D)

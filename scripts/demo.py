@@ -58,6 +58,11 @@ def main(argv=None):
         help="KV cache dtype; int8 halves decode cache bandwidth at long S",
     )
     parser.add_argument(
+        "--speculate", type=int, default=0, metavar="K",
+        help="n-gram speculative decoding with K drafts/step (0 = greedy); "
+             "token-identical output, faster on templated reports",
+    )
+    parser.add_argument(
         "--interactive", action="store_true",
         help="multi-turn conversation: read follow-up questions from stdin "
              "(the reference demo's history loop, scripts/demo.py:22-76)",
@@ -95,6 +100,7 @@ def main(argv=None):
             grounding_image=jnp.asarray(grounding_image)[None],
             instance=args.instance,
             kv_cache_dtype=args.kv_cache,
+            spec_draft_len=args.speculate,
         )
         print("=== generated ===")
         print(res.text[0])

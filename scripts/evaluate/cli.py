@@ -189,6 +189,7 @@ def cmd_predict(args):
                 jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(pos),
                 jnp.asarray(plen), jnp.asarray(imgs), patch, pool,
                 max_new_tokens=args.max_new_tokens,
+                spec_draft_len=getattr(args, "speculate", 0),
             )
             for row, i in enumerate(chunk):
                 item = prepared[i][1]
@@ -312,6 +313,9 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--batch", type=int, default=8,
                    help="rows per compiled generate (bucketed by image/prompt shape)")
+    p.add_argument("--speculate", type=int, default=0, metavar="K",
+                   help="n-gram speculative decoding, K drafts/step (0 = greedy; "
+                        "token-identical output)")
     p.add_argument("--continuous", action="store_true",
                    help="slot-pool continuous batching (GroundedServer)")
     p.set_defaults(func=cmd_predict)

@@ -1,0 +1,161 @@
+"""Speculative decoding: token-identical to greedy, by construction and test.
+
+The verify loop commits only draft tokens matching the model's own fp32
+argmax, so tokens / num_generated / per-token hidden states (the grounded SAM
+prompting inputs) must equal ``greedy_generate``'s for ANY draft quality —
+these tests assert that on a multimodal prompt with the <p>/</p> position
+freeze exercised, on ragged batches, and over the int8 KV cache.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmmm_tpu.models import MMMMConfig, MMMMModel
+from mmmm_tpu.models.generate import greedy_generate
+from mmmm_tpu.models.speculate import ngram_draft, ngram_speculative_generate
+
+
+def _tiny(seed):
+    cfg = MMMMConfig.tiny().vlm
+    params = MMMMModel(MMMMConfig.tiny()).init(jax.random.PRNGKey(seed))["cogvlm"]
+    return cfg, params
+
+
+def _mm_prompt(cfg, seed, b=1, s=20, n_vis=10):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(b, s)), jnp.int32)
+    tt = jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + n_vis].set(1)
+    pos = jnp.concatenate(
+        [jnp.asarray([[0, 1]]), jnp.full((1, n_vis - 2), 2), jnp.asarray([[3, 4]]),
+         5 + jnp.arange(s - n_vis - 2)[None]], axis=1,
+    ).astype(jnp.int32)
+    pos = jnp.broadcast_to(pos, (b, s))
+    image = jnp.asarray(rng.normal(size=(b, 3, 4, 16, 16)), jnp.float32)
+    return ids, tt, pos, image
+
+
+def _assert_same(res_g, res_s, max_new):
+    np.testing.assert_array_equal(
+        np.asarray(res_g.num_generated), np.asarray(res_s.num_generated)
+    )
+    np.testing.assert_array_equal(np.asarray(res_g.tokens), np.asarray(res_s.tokens))
+    hg, hs = np.asarray(res_g.hidden), np.asarray(res_s.hidden)
+    for i, n in enumerate(np.asarray(res_g.num_generated)):
+        # not bitwise: the k-token verify matmul reduces in a different order
+        # than the 1-token step, so hidden states agree to fp32 rounding only
+        np.testing.assert_allclose(
+            hg[i, :n], hs[i, :n], rtol=1e-4, atol=1e-5,
+            err_msg=f"hidden mismatch in row {i} (grounding inputs must match)",
+        )
+
+
+def test_speculative_matches_greedy_multimodal():
+    cfg, params = _tiny(3)
+    ids, tt, pos, image = _mm_prompt(cfg, 0)
+    patch, pool = (2, 4, 4), (1, 2, 2)
+    max_new = 16
+
+    # declare two tokens this model actually emits as bop/eop so the
+    # position-freeze rule is exercised inside verify windows
+    res0 = greedy_generate(
+        params, cfg, ids, tt, pos, jnp.asarray([ids.shape[1]]),
+        max_new_tokens=max_new, eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+        image=image, patch_size=patch, pool_size=pool, attn_impl="xla",
+    )
+    emitted = [int(t) for t in np.asarray(res0.tokens)[0]]
+    bop = emitted[1] if len(set(emitted)) > 1 else 99
+    eop = emitted[3] if len(emitted) > 3 else 98
+
+    kw = dict(
+        max_new_tokens=max_new, eos_token_id=2, bop_token_id=bop, eop_token_id=eop,
+        image=image, patch_size=patch, pool_size=pool, attn_impl="xla",
+    )
+    res_g = greedy_generate(params, cfg, ids, tt, pos, jnp.asarray([ids.shape[1]]), **kw)
+    for draft_len in (3, 7):
+        res_s = ngram_speculative_generate(
+            params, cfg, ids, tt, pos, jnp.asarray([ids.shape[1]]),
+            draft_len=draft_len, **kw,
+        )
+        _assert_same(res_g, res_s, max_new)
+
+
+def test_speculative_ragged_batch_and_int8_kv():
+    cfg, params = _tiny(4)
+    rng = np.random.default_rng(1)
+    s_bucket, max_new = 16, 12
+    lens = [16, 9, 12]
+    ids = np.zeros((3, s_bucket), np.int32)
+    for i, ln in enumerate(lens):
+        ids[i, :ln] = rng.integers(4, cfg.vocab_size, size=ln)
+    tt = np.zeros((3, s_bucket), np.int32)
+    pos = np.broadcast_to(np.arange(s_bucket), (3, s_bucket)).copy()
+    for kv in ("bf16", "int8"):
+        kw = dict(
+            max_new_tokens=max_new, eos_token_id=2, bop_token_id=-1,
+            eop_token_id=-1, attn_impl="xla", kv_cache_dtype=kv,
+        )
+        res_g = greedy_generate(
+            params, cfg, jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(pos),
+            jnp.asarray(lens), **kw,
+        )
+        res_s = ngram_speculative_generate(
+            params, cfg, jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(pos),
+            jnp.asarray(lens), draft_len=4, **kw,
+        )
+        _assert_same(res_g, res_s, max_new)
+
+
+def test_ngram_draft_copies_last_match_continuation():
+    # history: ... 7 8 [A B] 5 6 1 ... [A B] <end>  → drafts = 5 6 1 ...
+    hist = jnp.asarray([[7, 8, 4, 9, 5, 6, 1, 3, 4, 9, 0, 0]], jnp.int32)
+    hist_len = jnp.asarray([10])  # trailing bigram (4, 9) recurs at p=2
+    drafts = ngram_draft(hist, hist_len, n_draft=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(drafts), [[5, 6, 1]])
+
+    # most RECENT match wins: bigram (4, 9) also earlier with a different tail
+    hist2 = jnp.asarray([[4, 9, 2, 2, 2, 4, 9, 8, 8, 4, 9, 0]], jnp.int32)
+    drafts2 = ngram_draft(hist2, jnp.asarray([11]), n_draft=2, ngram=2)
+    np.testing.assert_array_equal(np.asarray(drafts2), [[8, 8]])
+
+    # no match → repeat the newest token (a guess; verify rejects it cheaply)
+    hist3 = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0]], jnp.int32)
+    drafts3 = ngram_draft(hist3, jnp.asarray([5]), n_draft=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(drafts3), [[5, 5, 5]])
+
+    # match whose continuation runs past the valid region → clamp to newest
+    hist4 = jnp.asarray([[3, 4, 6, 3, 4, 0, 0, 0]], jnp.int32)
+    drafts4 = ngram_draft(hist4, jnp.asarray([5]), n_draft=3, ngram=2)
+    # continuation of the p=0 match is [6, 3, 4] — only 6 is < hist_len? no:
+    # p=0 match continuation starts at index 2: [6, 3, 4], all < hist_len=5
+    np.testing.assert_array_equal(np.asarray(drafts4), [[6, 3, 4]])
+
+
+def test_speculative_accepts_on_cyclic_output():
+    """A greedy cycle is the adversarial best case for n-gram lookup: once the
+    model repeats a bigram, every later window should commit > 1 token, so the
+    verify loop must finish in fewer steps than tokens."""
+    cfg, params = _tiny(7)
+    rng = np.random.default_rng(5)
+    s, max_new = 8, 48
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(1, s)), jnp.int32)
+    tt = jnp.zeros((1, s), jnp.int32)
+    pos = jnp.arange(s)[None].astype(jnp.int32)
+    kw = dict(
+        max_new_tokens=max_new, eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+        attn_impl="xla",
+    )
+    res_g = greedy_generate(params, cfg, ids, tt, pos, jnp.asarray([s]), **kw)
+    toks = [int(t) for t in np.asarray(res_g.tokens)[0]]
+    n_gen = int(res_g.num_generated[0])
+    # random tiny models fall into greedy cycles; if this seed ever stops
+    # cycling, pick another — the identity assertion below holds regardless
+    cycles = n_gen == max_new and toks[-4:] == toks[-8:-4]
+
+    res_s, stats = ngram_speculative_generate(
+        params, cfg, ids, tt, pos, jnp.asarray([s]), draft_len=7, return_stats=True, **kw
+    )
+    _assert_same(res_g, res_s, max_new)
+    if cycles:
+        assert int(stats["iters"]) < n_gen, (
+            f"cyclic output should speculate: {int(stats['iters'])} steps for {n_gen} tokens"
+        )
