@@ -57,9 +57,19 @@ DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     (r".*llm/layers/(vis|lang)_mlp/down$", P(None, "model", None)),
     (r".*llm/layers/(vis|lang)_mlp/down/a$", P(None, "model", None)),
     (r".*llm/layers/(vis|lang)_mlp/down/b$", P(None, None, None)),
+    # W8A16 serving leaves ({"q", "s"} dicts from quantize_llm_for_serving):
+    # the int8 tensor shards like its bf16 original; per-output-channel scales
+    # (..., 1, out) follow column-parallel output dims and replicate for
+    # row-parallel weights (their out dim is unsharded; _fit_spec drops the
+    # size-1 contraction entry)
+    (r".*llm/layers/(vis|lang)_qkv/(q|s)$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_dense/q$", P(None, "model", None)),
+    (r".*llm/layers/(vis|lang)_mlp/(gate|up)/(q|s)$", P(None, None, "model")),
+    (r".*llm/layers/(vis|lang)_mlp/down/q$", P(None, "model", None)),
     # LM head over vocab
     (r".*llm/lm_head$", P(None, "model")),
     (r".*llm/lm_head/b$", P(None, "model")),
+    (r".*llm/lm_head/(q|s)$", P(None, "model")),
     # ViT
     (r".*vision/layers/(qkv_w|fc1_w)$", P(None, None, "model")),
     (r".*vision/layers/(qkv_b|fc1_b)$", P(None, "model")),

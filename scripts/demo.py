@@ -63,6 +63,12 @@ def main(argv=None):
              "token-identical output, faster on templated reports",
     )
     parser.add_argument(
+        "--tp", type=int, default=1, metavar="N",
+        help="tensor-parallel serving over N devices (weights shard per the "
+             "megatron rules incl. W8A16 {q,s} leaves; decode attention takes "
+             "the XLA path — tests/test_tp_serving.py pins token-identity)",
+    )
+    parser.add_argument(
         "--interactive", action="store_true",
         help="multi-turn conversation: read follow-up questions from stdin "
              "(the reference demo's history loop, scripts/demo.py:22-76)",
@@ -80,6 +86,19 @@ def main(argv=None):
 
     dconf = build(DatasetConf, dconf_dict)
     image, grounding_image, patch, pool, n_tokens = prepare_image(args.image, dconf)
+
+    attn_impl = "auto"
+    if args.tp > 1:
+        from mmmm_tpu.parallel import make_mesh
+        from mmmm_tpu.parallel.sharding import param_shardings
+
+        if jax.device_count() % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {jax.device_count()} devices")
+        mesh = make_mesh(data=jax.device_count() // args.tp, model=args.tp)
+        params = jax.device_put(params, param_shardings(params, mesh))
+        # the Pallas decode kernel has no GSPMD partitioning rule; the XLA
+        # decode einsums partition over the (sharded) head dim automatically
+        attn_impl = "xla"
 
     def run_turn(conversation):
         inputs, _ = prepare_vlm_inputs(
@@ -99,6 +118,7 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             grounding_image=jnp.asarray(grounding_image)[None],
             instance=args.instance,
+            attn_impl=attn_impl,
             kv_cache_dtype=args.kv_cache,
             spec_draft_len=args.speculate,
         )

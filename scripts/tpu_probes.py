@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""On-chip probes for the decode-attention kernels (run on the real TPU).
+
+CPU interpret mode cannot check Mosaic rules (block shapes, scalar-prefetch
+block remaps, scoped-vmem limits), so every new kernel gets a correctness +
+timing smoke here before it becomes a serving default.
+
+    python scripts/tpu_probes.py ragged        # length-aware-read kernels
+    python scripts/tpu_probes.py longctx       # decode cost vs cache length
+
+Prints one JSON line per (kernel, shape) case. Timing methodology: the kernel
+runs ITERS times inside one jitted lax.scan whose carry is the attention
+output (serializes iterations, defeats CSE); the axon relay's
+block_until_ready does not block, so runs are fenced with a host fetch of a
+scalar reduction.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+ITERS = 1000
+
+
+def _ref_attn(q, k, v, kv_len, scale):
+    import jax
+    import jax.numpy as jnp
+
+    s = k.shape[2]
+    logits = jnp.einsum(
+        "bqhd,bhsd->bhqs", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    mask = jnp.arange(s)[None, None, None, :] < kv_len[:, None, None, None]
+    p = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
+    return jnp.einsum("bhqs,bhsd->bqhd", p, v.astype(jnp.float32))
+
+
+_DISPATCH_OVERHEAD = None
+
+
+def _dispatch_overhead():
+    """Seconds for one dispatch + scalar host fetch through the relay (the
+    per-loop fixed cost to subtract from kernel timings)."""
+    global _DISPATCH_OVERHEAD
+    if _DISPATCH_OVERHEAD is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: jnp.sum(x * 1.0001))
+        x = jnp.ones((8, 128), jnp.float32)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(f(x))
+            ts.append(time.time() - t0)
+        _DISPATCH_OVERHEAD = min(ts)
+        print(json.dumps({"probe": "dispatch_overhead_ms",
+                          "value": round(_DISPATCH_OVERHEAD * 1e3, 2)}), flush=True)
+    return _DISPATCH_OVERHEAD
+
+
+def _time_loop(fn, q0, *operands):
+    """Seconds per call of ``fn(q, *operands) -> (B,1,H,D)`` over ITERS
+    chained calls inside ONE jitted scan (one dispatch; the carry serializes
+    iterations and defeats CSE). ``operands`` (the KV caches) MUST be passed
+    explicitly — closing over them turns hundreds of MB into jit constants
+    that ship to the remote compile service (HTTP 413 at S=2048). Relay
+    dispatch+fetch overhead is measured and subtracted."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(qc, *ops):
+        def body(qq, _):
+            return fn(qq, *ops).astype(qq.dtype), ()
+
+        qf, _ = lax.scan(body, qc, None, length=ITERS)
+        return jnp.sum(qf.astype(jnp.float32))
+
+    over = _dispatch_overhead()
+    np.asarray(loop(q0, *operands))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(loop(q0, *operands))
+        best = min(best, time.time() - t0)
+    return max(best - over, 0.0) / ITERS
+
+
+def probe_ragged(out):
+    import jax.numpy as jnp
+
+    from mmmm_tpu.ops.decode_kernel import (
+        _ragged_block,
+        decode_attention_pallas,
+        decode_attention_pallas_q8,
+        decode_attention_pallas_q8_ragged,
+        decode_attention_pallas_ragged,
+    )
+    from mmmm_tpu.ops.quant import quantize_kv
+
+    b, h, d = 24, 32, 128
+    rng = np.random.default_rng(0)
+    for smax in (320, 2048):
+        bs = _ragged_block(smax)
+        print(json.dumps({"probe": "ragged_decode", "status": "start", "S": smax}),
+              flush=True)
+        q = jnp.asarray(rng.normal(0, 1, (b, 1, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(0, 1, (b, h, smax, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(0, 1, (b, h, smax, d)), jnp.bfloat16)
+        # serving-like raggedness: mixed lengths incl. one full and one short
+        kv_len = jnp.asarray(
+            np.r_[smax, max(1, smax // 8), rng.integers(smax // 3, smax + 1, b - 2)],
+            jnp.int32,
+        )
+        scale = d**-0.5
+        ref = np.asarray(_ref_attn(q, k, v, kv_len, scale))
+
+        import jax
+
+        got = np.asarray(
+            jax.jit(
+                functools.partial(
+                    decode_attention_pallas_ragged, scale=scale, block_s=bs
+                )
+            )(q, k, v, kv_len)
+        ).astype(np.float32)
+        err = float(np.max(np.abs(got - ref)))
+        t_full = _time_loop(
+            lambda qq, kk, vv, kl: decode_attention_pallas(qq, kk, vv, kl),
+            q, k, v, kv_len,
+        )
+        t_rag = _time_loop(
+            lambda qq, kk, vv, kl: decode_attention_pallas_ragged(
+                qq, kk, vv, kl, block_s=bs
+            ),
+            q, k, v, kv_len,
+        )
+
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        got8 = np.asarray(
+            jax.jit(
+                functools.partial(
+                    decode_attention_pallas_q8_ragged, scale=scale, block_s=bs
+                )
+            )(q, kq, ks, vq, vs, kv_len)
+        ).astype(np.float32)
+        err8 = float(np.max(np.abs(got8 - ref)))
+        t8_full = _time_loop(
+            lambda qq, *o: decode_attention_pallas_q8(qq, *o),
+            q, kq, ks, vq, vs, kv_len,
+        )
+        t8_rag = _time_loop(
+            lambda qq, *o: decode_attention_pallas_q8_ragged(qq, *o, block_s=bs),
+            q, kq, ks, vq, vs, kv_len,
+        )
+        rec = {
+            "probe": "ragged_decode",
+            "B": b, "H": h, "S": smax, "D": d, "block_s": bs,
+            "max_abs_err_bf16": round(err, 4),
+            "max_abs_err_q8": round(err8, 4),
+            "ms_full_bf16": round(t_full * 1e3, 3),
+            "ms_ragged_bf16": round(t_rag * 1e3, 3),
+            "ms_full_q8": round(t8_full * 1e3, 3),
+            "ms_ragged_q8": round(t8_rag * 1e3, 3),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+
+def probe_longctx(out):
+    """Decode-step cost vs cache length for bf16 vs int8-KV, ragged reads on:
+    locates the crossover where int8 KV starts paying."""
+    import jax.numpy as jnp
+
+    from mmmm_tpu.ops.decode_kernel import (
+        _ragged_block,
+        decode_attention_pallas_q8_ragged,
+        decode_attention_pallas_ragged,
+    )
+    from mmmm_tpu.ops.quant import quantize_kv
+
+    b, h, d = 16, 32, 128
+    rng = np.random.default_rng(1)
+    for smax in (512, 2048, 8192):
+        bs = _ragged_block(smax)
+        q = jnp.asarray(rng.normal(0, 1, (b, 1, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(0, 1, (b, h, smax, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(0, 1, (b, h, smax, d)), jnp.bfloat16)
+        kv_len = jnp.full((b,), smax, jnp.int32)  # worst case: all slots valid
+        t_bf16 = _time_loop(
+            lambda qq, kk, vv, kl: decode_attention_pallas_ragged(
+                qq, kk, vv, kl, block_s=bs
+            ),
+            q, k, v, kv_len,
+        )
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        t_q8 = _time_loop(
+            lambda qq, *o: decode_attention_pallas_q8_ragged(qq, *o, block_s=bs),
+            q, kq, ks, vq, vs, kv_len,
+        )
+        rec = {
+            "probe": "longctx_decode", "B": b, "S": smax,
+            "ms_bf16": round(t_bf16 * 1e3, 3), "ms_q8": round(t_q8 * 1e3, 3),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", choices=["ragged", "longctx"])
+    args = ap.parse_args(argv)
+    out = []
+    if args.probe == "ragged":
+        probe_ragged(out)
+    else:
+        probe_longctx(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
