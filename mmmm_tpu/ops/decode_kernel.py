@@ -90,11 +90,24 @@ def decode_attention_pallas_q8(
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_q.shape[2]
-    bs = _ragged_block(smax) if os.environ.get("MMMM_RAGGED_DECODE", "0") == "1" else None
+    chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
+    # per-cell footprint: (1, chunk, S, D) int8 K+V plus their scales
+    full_bytes = 2 * chunk * smax * (d + k_s.dtype.itemsize)
+    bs = _ragged_choice(smax, full_bytes)
     if bs is not None:
         return decode_attention_pallas_q8_ragged(
             q, k_q, k_s, v_q, v_s, kv_len, scale=scale, block_s=bs
         )
+    return _decode_attention_pallas_q8_full(
+        q, k_q, k_s, v_q, v_s, kv_len, scale=scale
+    )
+
+
+def _decode_attention_pallas_q8_full(q, k_q, k_s, v_q, v_s, kv_len, *, scale):
+    """Full-read int8-KV kernel; only lowerable while one sample's chunked
+    K+V (+scales) fits VMEM — the dispatcher guards this."""
+    b, _, h, d = q.shape
+    smax = k_q.shape[2]
     chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
     qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
     out = pl.pallas_call(
@@ -276,6 +289,33 @@ def _ragged_block(smax: int) -> int | None:
     return None
 
 
+# The full-read kernels load one sample's ENTIRE K+V per grid cell; past this
+# footprint Mosaic refuses to lower ("scoped vmem limit exceeded" — measured
+# on-chip at S=2048 bf16: 64 MB vs the 16 MB budget), so long caches MUST take
+# the blocked ragged kernel regardless of the MMMM_RAGGED_DECODE setting.
+_FULL_READ_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _ragged_choice(smax: int, full_read_bytes: int) -> int | None:
+    """Block size for the ragged kernel, or None to use the full-read kernel.
+
+    MMMM_RAGGED_DECODE=1 opts in (on-chip: ~7% faster bf16 decode at serving
+    S=320 with mixed lengths, required at long S); =0 opts out — except when
+    the full-read kernel cannot lower at all, which overrides the env."""
+    env = os.environ.get("MMMM_RAGGED_DECODE", "0") == "1"
+    must = full_read_bytes > _FULL_READ_VMEM_BUDGET
+    if not (env or must):
+        return None
+    bs = _ragged_block(smax)
+    if bs is None and must:
+        raise ValueError(
+            f"decode cache smax={smax} needs the blocked ragged kernel (full "
+            f"K+V read = {full_read_bytes/2**20:.0f} MB > VMEM) but no block "
+            f"in [8,128] divides it — pad the cache length to a multiple of 8"
+        )
+    return bs
+
+
 def decode_attention_pallas_ragged(
     q: jnp.ndarray,  # (B, 1, H, D)
     k_cache: jnp.ndarray,  # (B, H, S, D)
@@ -333,19 +373,27 @@ def decode_attention_pallas(
 ) -> jnp.ndarray:
     """Returns (B, 1, H, D); same contract as ``decode_attention_bhsd`` with a
     prefix-valid mask (slots [0, kv_len) are real). Dispatches to the ragged
-    (length-aware-read) kernel when the cache is long enough for skipped
-    blocks to pay (MMMM_RAGGED_DECODE=0 forces the full-read kernel)."""
+    (length-aware-read) kernel per ``_ragged_choice``: opt-in via
+    MMMM_RAGGED_DECODE=1, forced when the full K+V read exceeds VMEM."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_cache.shape[2]
-    # default off until verified on-chip (CPU interpret mode can't check
-    # Mosaic rules for the scalar-prefetch block remap); MMMM_RAGGED_DECODE=1
-    bs = _ragged_block(smax) if os.environ.get("MMMM_RAGGED_DECODE", "0") == "1" else None
+    # per-cell footprint: the (1, H, S, D) K+V blocks the full-read kernel loads
+    full_bytes = 2 * h * smax * d * k_cache.dtype.itemsize
+    bs = _ragged_choice(smax, full_bytes)
     if bs is not None:
         return decode_attention_pallas_ragged(
             q, k_cache, v_cache, kv_len, scale=scale, block_s=bs
         )
+    return _decode_attention_pallas_full(q, k_cache, v_cache, kv_len, scale=scale)
+
+
+def _decode_attention_pallas_full(q, k_cache, v_cache, kv_len, *, scale):
+    """The full-read kernel (one grid cell loads a sample's entire K+V); only
+    lowerable while that fits VMEM — the dispatcher guards this."""
+    b, _, h, d = q.shape
+    smax = k_cache.shape[2]
     qh = jnp.swapaxes(q, 1, 2).reshape(b, h, d)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale),

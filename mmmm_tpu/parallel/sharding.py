@@ -227,6 +227,25 @@ def bytes_per_device(tree, shardings) -> int:
     return total
 
 
+def tp_serving_params(params, tp: int):
+    """Shard serving weights for tensor-parallel inference over ``tp`` local
+    devices (remaining devices form the ``data`` axis). Returns
+    ``(sharded_params, attn_impl)`` — TP serving takes the XLA decode path
+    (the Pallas decode kernel has no GSPMD partitioning rule; the XLA decode
+    einsums partition over the sharded head dim automatically; token-identity
+    is pinned by tests/test_tp_serving.py). Used by ``demo.py --tp`` and
+    ``evaluate predict --tp``."""
+    if tp <= 1:
+        return params, "auto"
+    from .mesh import make_mesh
+
+    n = jax.device_count()
+    if n % tp:
+        raise ValueError(f"tp={tp} does not divide {n} devices")
+    mesh = make_mesh(data=n // tp, model=tp)
+    return jax.device_put(params, param_shardings(params, mesh)), "xla"
+
+
 def batch_shardings(batch, mesh: Mesh):
     """Shard the leading (batch) dim of every array leaf over ``data``."""
 

@@ -87,18 +87,9 @@ def main(argv=None):
     dconf = build(DatasetConf, dconf_dict)
     image, grounding_image, patch, pool, n_tokens = prepare_image(args.image, dconf)
 
-    attn_impl = "auto"
-    if args.tp > 1:
-        from mmmm_tpu.parallel import make_mesh
-        from mmmm_tpu.parallel.sharding import param_shardings
+    from mmmm_tpu.parallel.sharding import tp_serving_params
 
-        if jax.device_count() % args.tp:
-            raise SystemExit(f"--tp {args.tp} does not divide {jax.device_count()} devices")
-        mesh = make_mesh(data=jax.device_count() // args.tp, model=args.tp)
-        params = jax.device_put(params, param_shardings(params, mesh))
-        # the Pallas decode kernel has no GSPMD partitioning rule; the XLA
-        # decode einsums partition over the (sharded) head dim automatically
-        attn_impl = "xla"
+    params, attn_impl = tp_serving_params(params, args.tp)
 
     def run_turn(conversation):
         inputs, _ = prepare_vlm_inputs(

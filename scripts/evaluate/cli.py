@@ -93,6 +93,9 @@ def cmd_predict(args):
     from mmmm_tpu.models.inference import generate_grounded
 
     model, params, tokenizer, cfg = load_model(args.config, args.adapter, quantize=getattr(args, 'quantize', False))
+    from mmmm_tpu.parallel.sharding import tp_serving_params
+
+    params, attn_impl = tp_serving_params(params, getattr(args, "tp", 1))
     dconf = build(DatasetConf, (cfg.get("data") or {}).get("conf") or {})
     dataset_dir = Path(args.dataset_dir)
     if args.task == "vqa":
@@ -142,6 +145,7 @@ def cmd_predict(args):
                 n_vis=n_vis, n_slots=batch_n,
                 max_new_tokens=args.max_new_tokens,
                 max_prompt_len=max(prepared[i][4] for i in idxs),
+                attn_impl=attn_impl,
             )
             reqs = [
                 {
@@ -189,6 +193,7 @@ def cmd_predict(args):
                 jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(pos),
                 jnp.asarray(plen), jnp.asarray(imgs), patch, pool,
                 max_new_tokens=args.max_new_tokens,
+                attn_impl=attn_impl,
                 spec_draft_len=getattr(args, "speculate", 0),
             )
             for row, i in enumerate(chunk):
@@ -306,6 +311,9 @@ def main(argv=None):
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--adapter")
     p.add_argument("--quantize", action="store_true", help="W8A16 int8 serving")
+    p.add_argument("--tp", type=int, default=1, metavar="N",
+                   help="tensor-parallel serving over N devices "
+                        "(tests/test_tp_serving.py pins token-identity)")
     p.add_argument("--task", choices=["vqa", "report"], required=True)
     p.add_argument("--dataset-dir", required=True)
     p.add_argument("--output", required=True)

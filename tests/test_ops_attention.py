@@ -190,3 +190,31 @@ def test_ragged_block_selection():
     assert _ragged_block(512) == 128
     assert _ragged_block(128) is None  # too short to skip anything
     assert _ragged_block(321) is None  # indivisible -> legacy kernel
+
+
+def test_ragged_choice_forced_by_vmem():
+    """Long caches MUST take the blocked kernel: the full-read kernel loads a
+    sample's whole K+V per grid cell and Mosaic refuses past ~16 MB scoped
+    vmem (measured on-chip at S=2048 bf16: 64 MB). Env opt-out cannot
+    override a lowering impossibility."""
+    import pytest
+
+    from mmmm_tpu.ops.decode_kernel import _ragged_choice
+
+    h, d = 32, 128
+    serving = 2 * h * 320 * d * 2  # 5.2 MB: fits, env-gated
+    assert _ragged_choice(320, serving) is None  # default off
+    long = 2 * h * 2048 * d * 2  # 67 MB: cannot lower, forced ragged
+    assert _ragged_choice(2048, long) == 128
+    # forced but indivisible cache length -> actionable error, not Mosaic OOM
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _ragged_choice(2049, 2 * h * 2049 * d * 2)
+
+
+def test_ragged_choice_env_opt_in(monkeypatch):
+    from mmmm_tpu.ops.decode_kernel import _ragged_choice
+
+    monkeypatch.setenv("MMMM_RAGGED_DECODE", "1")
+    assert _ragged_choice(320, 1 << 20) == 64
+    monkeypatch.setenv("MMMM_RAGGED_DECODE", "0")
+    assert _ragged_choice(320, 1 << 20) is None
