@@ -93,7 +93,7 @@ def decode_attention_pallas_q8(
     chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
     # per-cell footprint: (1, chunk, S, D) int8 K+V plus their scales
     full_bytes = 2 * chunk * smax * (d + k_s.dtype.itemsize)
-    bs = _ragged_choice(smax, full_bytes)
+    bs = _ragged_choice(smax, full_bytes, default=False)
     if bs is not None:
         return decode_attention_pallas_q8_ragged(
             q, k_q, k_s, v_q, v_s, kv_len, scale=scale, block_s=bs
@@ -296,15 +296,20 @@ def _ragged_block(smax: int) -> int | None:
 _FULL_READ_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _ragged_choice(smax: int, full_read_bytes: int) -> int | None:
+def _ragged_choice(smax: int, full_read_bytes: int, default: bool) -> int | None:
     """Block size for the ragged kernel, or None to use the full-read kernel.
 
-    MMMM_RAGGED_DECODE=1 opts in (on-chip: ~7% faster bf16 decode at serving
-    S=320 with mixed lengths, required at long S); =0 opts out — except when
-    the full-read kernel cannot lower at all, which overrides the env."""
-    env = os.environ.get("MMMM_RAGGED_DECODE", "0") == "1"
+    On-chip smoke (2026-08-18, B24 H32 D128): bf16 ragged is ~7% faster than
+    the full read at serving S=320 with mixed lengths and the only lowerable
+    option at S=2048 — so bf16 DEFAULTS to ragged (MMMM_RAGGED_DECODE=0 opts
+    out). The int8-KV ragged kernel measured slower at both S (VPU dequant
+    dominates; 0.296 vs 0.173 ms at S=320) — q8 defaults to the full read
+    (=1 opts in). Either way the ragged kernel is forced when the full K+V
+    read cannot lower at all."""
+    env = os.environ.get("MMMM_RAGGED_DECODE")
+    want = default if env is None else env == "1"
     must = full_read_bytes > _FULL_READ_VMEM_BUDGET
-    if not (env or must):
+    if not (want or must):
         return None
     bs = _ragged_block(smax)
     if bs is None and must:
@@ -373,15 +378,16 @@ def decode_attention_pallas(
 ) -> jnp.ndarray:
     """Returns (B, 1, H, D); same contract as ``decode_attention_bhsd`` with a
     prefix-valid mask (slots [0, kv_len) are real). Dispatches to the ragged
-    (length-aware-read) kernel per ``_ragged_choice``: opt-in via
-    MMMM_RAGGED_DECODE=1, forced when the full K+V read exceeds VMEM."""
+    (length-aware-read) kernel per ``_ragged_choice``: default ON for bf16
+    (MMMM_RAGGED_DECODE=0 opts out), forced when the full K+V read exceeds
+    VMEM."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_cache.shape[2]
     # per-cell footprint: the (1, H, S, D) K+V blocks the full-read kernel loads
     full_bytes = 2 * h * smax * d * k_cache.dtype.itemsize
-    bs = _ragged_choice(smax, full_bytes)
+    bs = _ragged_choice(smax, full_bytes, default=True)
     if bs is not None:
         return decode_attention_pallas_ragged(
             q, k_cache, v_cache, kv_len, scale=scale, block_s=bs

@@ -202,19 +202,24 @@ def test_ragged_choice_forced_by_vmem():
     from mmmm_tpu.ops.decode_kernel import _ragged_choice
 
     h, d = 32, 128
-    serving = 2 * h * 320 * d * 2  # 5.2 MB: fits, env-gated
-    assert _ragged_choice(320, serving) is None  # default off
+    serving = 2 * h * 320 * d * 2  # 5.2 MB: fits, default-gated
+    assert _ragged_choice(320, serving, default=False) is None
     long = 2 * h * 2048 * d * 2  # 67 MB: cannot lower, forced ragged
-    assert _ragged_choice(2048, long) == 128
+    assert _ragged_choice(2048, long, default=False) == 128
     # forced but indivisible cache length -> actionable error, not Mosaic OOM
     with pytest.raises(ValueError, match="multiple of 8"):
-        _ragged_choice(2049, 2 * h * 2049 * d * 2)
+        _ragged_choice(2049, 2 * h * 2049 * d * 2, default=False)
 
 
-def test_ragged_choice_env_opt_in(monkeypatch):
+def test_ragged_choice_defaults_and_env(monkeypatch):
+    """bf16 defaults ragged ON, q8 OFF (on-chip smoke 2026-08-18); the env
+    overrides both directions."""
     from mmmm_tpu.ops.decode_kernel import _ragged_choice
 
+    monkeypatch.delenv("MMMM_RAGGED_DECODE", raising=False)
+    assert _ragged_choice(320, 1 << 20, default=True) == 64
+    assert _ragged_choice(320, 1 << 20, default=False) is None
     monkeypatch.setenv("MMMM_RAGGED_DECODE", "1")
-    assert _ragged_choice(320, 1 << 20) == 64
+    assert _ragged_choice(320, 1 << 20, default=False) == 64
     monkeypatch.setenv("MMMM_RAGGED_DECODE", "0")
-    assert _ragged_choice(320, 1 << 20) is None
+    assert _ragged_choice(320, 1 << 20, default=True) is None
