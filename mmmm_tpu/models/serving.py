@@ -18,6 +18,12 @@ the scheduler, TPU-style:
     kernel (``ops/decode_kernel.py``) reads each row only up to its true
     length, so mixed-age slots cost what they use, not what the pool pads to.
 
+  - automatic prefix caching (vLLM's APC): offline jobs build every prompt
+    from one instruction template, so the longest common token prefix is
+    prefilled ONCE and each request prefills only its suffix against the
+    shared KV through the speculative-verify window path — static shapes,
+    one extra compiled program per (sub-batch, suffix-bucket).
+
 Greedy semantics are identical to ``generate.greedy_generate`` (same
 position-freeze rule for ``<p>``/``</p>``, same eos forcing), so a prompt's
 completion does not depend on which slots or neighbors it shared the pool
@@ -77,6 +83,8 @@ class TextServer:
         seq_quant: int = 64,
         max_prompt_len: int = 512,
         attn_impl: str = "auto",
+        prefix_cache: bool = True,
+        min_prefix: int = 32,
     ):
         self.params = params
         self.cfg = cfg
@@ -87,11 +95,20 @@ class TextServer:
         self.seq_quant = seq_quant
         self.max_prompt = max_prompt_len
         self.attn_impl = attn_impl
+        # automatic prefix caching (vLLM's APC property): offline LLM jobs
+        # build every prompt from one instruction template, so the longest
+        # common token prefix is computed ONCE and new requests prefill only
+        # their suffix against the shared KV (see generate())
+        self.prefix_cache = prefix_cache
+        self.min_prefix = min_prefix
         # pool depth: longest prompt + full generation + one chunk of overshoot
         self.smax = _bucket(max_prompt_len + max_new_tokens + chunk, seq_quant)
         self._prefill_cache: dict = {}
         self._decode = None
-        self.stats = {"chunks": 0, "refills": 0, "refilled_mid_flight": 0}
+        self.stats = {
+            "chunks": 0, "refills": 0, "refilled_mid_flight": 0,
+            "prefix_len": 0, "prefix_tokens_saved": 0,
+        }
 
     # ---- jitted stages ----------------------------------------------------
 
@@ -119,6 +136,74 @@ class TextServer:
                 logits = qdot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
                 tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 last_tok = take(ids)[:, 0]
+                return tok0, last_tok, caches
+
+            self._prefill_cache[key] = run
+        return self._prefill_cache[key]
+
+    def _prefix_prefill_fn(self, s: int):
+        """Shared-prefix prefill: (1, s) ids -> full-depth (1, H, smax, D)
+        caches holding the prefix KV in slots [0, plen)."""
+        key = ("prefix", s)
+        if key not in self._prefill_cache:
+            cfg, attn_impl, smax = self.cfg, self.attn_impl, self.smax
+
+            @jax.jit
+            def run(params, ids, plen):
+                pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+                seg = (pos < plen[:, None]).astype(jnp.int32)
+                tt = jnp.zeros_like(ids)
+                emb = params["llm"]["embed_tokens"][ids]
+                _, caches = llm_prefill(
+                    params["llm"], cfg, emb, tt, pos.astype(jnp.int32), seg,
+                    smax=smax, attn_impl=attn_impl,
+                )
+                return caches
+
+            self._prefill_cache[key] = run
+        return self._prefill_cache[key]
+
+    def _prefix_refill_fn(self, f: int, s: int, p: int):
+        """Suffix-only prefill continuing from the shared-prefix KV.
+
+        Reuses the speculative-verify window machinery: the (f, s) suffix runs
+        through ``llm_decode_step`` with ``write_index = p`` and per-position
+        ``kv_len[b, j] = p + j + 1``, so window position j attends the full
+        prefix plus window tokens <= j (causal), and each layer writes the
+        suffix K/V straight into cache slots [p, p+s). Prefix FLOPs are paid
+        once per job instead of once per request."""
+        key = ("pfx_refill", f, s, p)
+        if key not in self._prefill_cache:
+            cfg, attn_impl = self.cfg, self.attn_impl
+
+            @jax.jit
+            def run(params, prefix_caches, ids, suffix_len):
+                emb = params["llm"]["embed_tokens"][ids]  # (f, s, C)
+                pos = p + jnp.broadcast_to(
+                    jnp.arange(s, dtype=jnp.int32)[None], (f, s)
+                )
+                caches = jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (f,) + a.shape[1:]),
+                    prefix_caches,
+                )
+                write = jnp.full((f,), p, jnp.int32)
+                # padded tail positions clamp to the last real token: their
+                # outputs are discarded and their garbage cache writes sit in
+                # slots >= p + suffix_len, beyond every later read (the next
+                # decode write lands at p + suffix_len and kv_len caps reads)
+                j = jnp.arange(s, dtype=jnp.int32)[None]
+                kv_len = p + jnp.minimum(j, suffix_len[:, None] - 1) + 1
+                hidden, caches = llm_decode_step(
+                    params["llm"], cfg, emb, None, pos, caches,
+                    write, kv_len, attn_impl=attn_impl,
+                )
+                last = suffix_len - 1
+                last_hidden = jnp.take_along_axis(
+                    hidden, last[:, None, None], axis=1
+                )[:, 0]
+                logits = qdot(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                last_tok = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
                 return tok0, last_tok, caches
 
             self._prefill_cache[key] = run
@@ -202,6 +287,31 @@ class TextServer:
         queue = sorted(reqs, key=lambda r: -len(r.ids))
         results: dict[int, list[int]] = {}
 
+        # automatic prefix caching: longest common token prefix of the job
+        # (every request must keep >= 1 suffix token so its prefill emits a
+        # first token); prefilled ONCE below, suffixes continue from its KV
+        pfx_len = 0
+        pfx_caches = None
+        if self.prefix_cache and len(reqs) > 1:
+            first = reqs[0].ids
+            cap = min(len(r.ids) for r in reqs) - 1
+            while pfx_len < cap and all(
+                r.ids[pfx_len] == first[pfx_len] for r in reqs
+            ):
+                pfx_len += 1
+            if pfx_len < self.min_prefix:
+                pfx_len = 0
+        if pfx_len:
+            sp = _bucket(pfx_len, self.seq_quant)
+            ids = np.zeros((1, sp), np.int32)
+            ids[0, :pfx_len] = reqs[0].ids[:pfx_len]
+            pfx_caches = self._prefix_prefill_fn(sp)(
+                self.params, jnp.asarray(ids),
+                jnp.asarray([pfx_len], jnp.int32),
+            )
+            self.stats["prefix_len"] = pfx_len
+            self.stats["prefix_tokens_saved"] = pfx_len * (len(reqs) - 1)
+
         b, smax = self.n_slots, self.smax
         hd = self.cfg.num_attention_heads, self.cfg.head_dim
         # pool dtype follows the model's compute dtype (decode writes raw k/v)
@@ -235,15 +345,30 @@ class TextServer:
                 self.stats["refilled_mid_flight"] += 1
             take = [queue.pop(0) for _ in range(min(len(free), len(queue)))]
             f = _pow2(len(take))
-            s = _bucket(max(len(r.ids) for r in take), self.seq_quant)
-            ids = np.zeros((f, s), np.int32)
-            plen = np.ones((f,), np.int32)
-            for row, r in enumerate(take):
-                ids[row, : len(r.ids)] = r.ids
-                plen[row] = len(r.ids)
-            tok0, last_tok, sub = self._prefill_fn(f, s)(
-                self.params, jnp.asarray(ids), jnp.asarray(plen)
-            )
+            if pfx_len:
+                # suffix-only prefill continuing from the shared-prefix KV
+                s = _bucket(max(len(r.ids) - pfx_len for r in take), self.seq_quant)
+                ids = np.zeros((f, s), np.int32)
+                plen = np.full((f,), pfx_len + 1, np.int32)
+                sfx = np.ones((f,), np.int32)
+                for row, r in enumerate(take):
+                    suffix = r.ids[pfx_len:]
+                    ids[row, : len(suffix)] = suffix
+                    sfx[row] = len(suffix)
+                    plen[row] = len(r.ids)
+                tok0, last_tok, sub = self._prefix_refill_fn(f, s, pfx_len)(
+                    self.params, pfx_caches, jnp.asarray(ids), jnp.asarray(sfx)
+                )
+            else:
+                s = _bucket(max(len(r.ids) for r in take), self.seq_quant)
+                ids = np.zeros((f, s), np.int32)
+                plen = np.ones((f,), np.int32)
+                for row, r in enumerate(take):
+                    ids[row, : len(r.ids)] = r.ids
+                    plen[row] = len(r.ids)
+                tok0, last_tok, sub = self._prefill_fn(f, s)(
+                    self.params, jnp.asarray(ids), jnp.asarray(plen)
+                )
             rows = list(range(len(take)))
             slots = [free[i] for i in rows]
             sub_rows = jnp.asarray(rows, jnp.int32)

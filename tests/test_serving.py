@@ -59,6 +59,45 @@ def test_server_refills_mid_flight():
     assert server.stats["chunks"] <= 12
 
 
+def test_prefix_cache_matches_full_prefill():
+    """Automatic prefix caching: templated prompts (one shared instruction
+    prefix + per-request bodies) produce byte-identical completions whether
+    each prompt is prefilled in full or only its suffix is prefilled against
+    the shared-prefix KV (vLLM's APC property, TPU-style: one extra compiled
+    suffix-window program, no dynamic shapes)."""
+    tok, cfg, params = _setup()
+    template = "You are a radiology assistant. Extract findings from: "
+    bodies = ["small nodule", "clear lungs", "effusion on the left", "x",
+              "cardiomegaly with edema"]
+    prompts = [template + b for b in bodies]
+    base = TextServer(
+        params, cfg, tok, n_slots=2, max_new_tokens=6, chunk=3,
+        seq_quant=16, max_prompt_len=128, attn_impl="xla", prefix_cache=False,
+    ).generate(prompts)
+    server = TextServer(
+        params, cfg, tok, n_slots=2, max_new_tokens=6, chunk=3,
+        seq_quant=16, max_prompt_len=128, attn_impl="xla",
+    )
+    served = server.generate(prompts)
+    assert served == base
+    # the byte tokenizer gives ~1 token/char: the 55-char template must have
+    # been detected and reused for every request after the first
+    assert server.stats["prefix_len"] >= 32
+    assert server.stats["prefix_tokens_saved"] >= 32 * (len(prompts) - 1)
+
+
+def test_prefix_cache_skips_unshared_jobs():
+    """No common template -> the detector leaves the normal path untouched."""
+    tok, cfg, params = _setup()
+    server = TextServer(
+        params, cfg, tok, n_slots=2, max_new_tokens=4, chunk=2,
+        seq_quant=16, max_prompt_len=64, attn_impl="xla",
+    )
+    outs = server.generate(["alpha beta", "gamma delta epsilon", "zeta"])
+    assert len(outs) == 3
+    assert server.stats["prefix_len"] == 0
+
+
 def test_grounded_server_matches_batch_path():
     """GroundedServer (continuous multimodal serving) produces the same texts
     and SAM masks as the one-shot generate_grounded batch path."""
