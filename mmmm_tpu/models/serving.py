@@ -85,6 +85,7 @@ class TextServer:
         attn_impl: str = "auto",
         prefix_cache: bool = True,
         min_prefix: int = 32,
+        speculate: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -101,13 +102,22 @@ class TextServer:
         # their suffix against the shared KV (see generate())
         self.prefix_cache = prefix_cache
         self.min_prefix = min_prefix
-        # pool depth: longest prompt + full generation + one chunk of overshoot
-        self.smax = _bucket(max_prompt_len + max_new_tokens + chunk, seq_quant)
+        # n-gram speculative decoding inside the slot pool: each chunk step
+        # verifies a (speculate+1)-token window per slot — same weight reads
+        # as one greedy step, 1..k committed tokens (models/speculate.py has
+        # the one-shot equivalent; this composes it with continuous batching)
+        self.spec = speculate
+        # pool depth: longest prompt + full generation + one chunk of
+        # overshoot (+ the k-wide verify-window slack when speculating)
+        self.smax = _bucket(
+            max_prompt_len + max_new_tokens + chunk + (speculate + 1), seq_quant
+        )
         self._prefill_cache: dict = {}
         self._decode = None
         self.stats = {
             "chunks": 0, "refills": 0, "refilled_mid_flight": 0,
             "prefix_len": 0, "prefix_tokens_saved": 0,
+            "spec_steps": 0, "spec_committed": 0,
         }
 
     # ---- jitted stages ----------------------------------------------------
@@ -265,6 +275,94 @@ class TextServer:
             self._decode = run
         return self._decode
 
+    def _decode_spec_fn(self):
+        """Chunk of ``chunk`` VERIFY steps: each step drafts k-1 tokens by
+        n-gram lookup over the slot's own history, verifies the k-window in
+        one ``llm_decode_step`` (same weight reads as a single greedy step),
+        and commits the longest argmax-matching prefix — token-identical to
+        the greedy chunk (``models/speculate.py`` documents the rules; this
+        adapts them to the slot pool with device-side budget/emitted counters
+        so rejected slack never overflows the cache)."""
+        if self._decode is None:
+            cfg, attn_impl, chunk, smax = self.cfg, self.attn_impl, self.chunk, self.smax
+            k = self.spec + 1
+            eos, bop, eop = (
+                self.tok.eos_token_id, self.tok.bop_token_id, self.tok.eop_token_id,
+            )
+            from .speculate import ngram_draft
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def run(params, state):
+                b = state["tok"].shape[0]
+                j_idx = jnp.arange(k)[None, :]
+                upd_row = jax.vmap(
+                    lambda a, u, i: jax.lax.dynamic_update_slice_in_dim(a, u, i, axis=0)
+                )
+
+                def step(st, _):
+                    active = (~st["done"]) & (st["emitted"] < st["budget"])
+                    drafts = ngram_draft(st["hist"], st["hist_len"], n_draft=k - 1)
+                    window = jnp.concatenate([st["tok"][:, None], drafts], axis=1)
+                    prevs = jnp.concatenate(
+                        [st["prev_tok"][:, None], window[:, :-1]], axis=1
+                    )
+                    keep = (prevs == bop) | (window == eop)
+                    pos_w = st["pos"][:, None] + jnp.cumsum(
+                        1 - keep.astype(st["pos"].dtype), axis=1
+                    )
+                    emb = params["llm"]["embed_tokens"][window]
+                    write = jnp.minimum(st["write"], smax - k)
+                    kv_len = write[:, None] + jnp.arange(1, k + 1)[None, :]
+                    hidden_w, caches = llm_decode_step(
+                        params["llm"], cfg, emb, None, pos_w, st["caches"],
+                        write, kv_len, attn_impl=attn_impl,
+                    )
+                    logits = qdot(hidden_w, params["llm"]["lm_head"]).astype(jnp.float32)
+                    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k)
+                    match = (window[:, 1:] == g[:, :-1]).astype(jnp.int32)
+                    a = jnp.cumprod(match, axis=1).sum(axis=1)
+                    noneos = jnp.cumprod((window != eos).astype(jnp.int32), axis=1)
+                    commit = (j_idx <= a[:, None]) & (noneos == 1)
+                    n_raw = commit.sum(axis=1)
+                    room = jnp.maximum(st["budget"] - st["emitted"], 0)
+                    n = jnp.where(active, jnp.minimum(n_raw, room), 0)
+                    eos_hit = jnp.take_along_axis(noneos, a[:, None], axis=1)[:, 0] == 0
+                    last = jnp.maximum(n - 1, 0)[:, None]
+                    take_tok = lambda arr: jnp.take_along_axis(arr, last, axis=1)[:, 0]
+                    nxt = take_tok(g)
+                    done_new = st["done"] | (
+                        active
+                        & ((eos_hit & (n == n_raw)) | (nxt == eos)
+                           | (st["emitted"] + n >= st["budget"]))
+                    )
+                    tok_new = jnp.where(
+                        active, jnp.where(done_new, eos, nxt), st["tok"]
+                    )
+                    # history append: committed drafts then the new token
+                    shifted = jnp.concatenate([window[:, 1:], window[:, -1:]], axis=1)
+                    hist_vals = jnp.where(j_idx == last, tok_new[:, None], shifted)
+                    off_hist = jnp.where(active, st["hist_len"], smax - k)
+                    new = {
+                        "caches": caches,
+                        "tok": tok_new,
+                        "prev_tok": jnp.where(active, take_tok(window), st["prev_tok"]),
+                        "pos": jnp.where(active, take_tok(pos_w), st["pos"]),
+                        "write": write + n,
+                        "done": done_new,
+                        "hist": upd_row(st["hist"], hist_vals, off_hist),
+                        "hist_len": st["hist_len"] + n,
+                        "budget": st["budget"],
+                        "emitted": st["emitted"] + n,
+                    }
+                    return new, (window, n, done_new)
+
+                state, (toks, ns, dones) = jax.lax.scan(step, state, None, length=chunk)
+                # (B, chunk, k) windows, (B, chunk) commit counts / done flags
+                return state, (toks.swapaxes(0, 1), ns.T, dones.T)
+
+            self._decode = run
+        return self._decode
+
     # ---- host scheduler ---------------------------------------------------
 
     def generate(
@@ -331,6 +429,13 @@ class TextServer:
             "write": jnp.zeros((b,), jnp.int32),
             "done": jnp.ones((b,), bool),
         }
+        if self.spec:
+            state.update(
+                hist=jnp.zeros((b, smax), jnp.int32),
+                hist_len=jnp.ones((b,), jnp.int32),
+                budget=jnp.zeros((b,), jnp.int32),
+                emitted=jnp.zeros((b,), jnp.int32),
+            )
         slot_req: list[_Request | None] = [None] * b
         slot_budget = np.zeros(b, np.int64)
 
@@ -377,7 +482,7 @@ class TextServer:
             new_caches = self._scatter_fn()(state["caches"], sub_taken, slot_ids)
             tok0_np, last_np = np.asarray(tok0), np.asarray(last_tok)
             upd = lambda arr, vals: arr.at[slot_ids].set(jnp.asarray(vals))
-            state = {
+            new_state = {
                 "caches": new_caches,
                 "tok": upd(state["tok"], tok0_np[rows]),
                 "prev_tok": upd(state["prev_tok"], last_np[rows]),
@@ -385,15 +490,50 @@ class TextServer:
                 "write": upd(state["write"], plen[rows]),
                 "done": upd(state["done"], tok0_np[rows] == tok.eos_token_id),
             }
+            if self.spec:
+                # per-slot n-gram history: full prompt (prefix included even
+                # in prefix-cache mode — drafts may match template phrases)
+                # with the prefill's first token appended
+                hr = np.zeros((len(take), self.smax), np.int32)
+                for row, r in enumerate(take):
+                    hr[row, : len(r.ids)] = r.ids
+                    hr[row, len(r.ids)] = tok0_np[row]
+                new_state.update(
+                    hist=upd(state["hist"], hr),
+                    hist_len=upd(state["hist_len"], plen[rows] + 1),
+                    budget=upd(
+                        state["budget"],
+                        np.asarray([r.budget for r in take], np.int32),
+                    ),
+                    emitted=upd(state["emitted"], np.zeros(len(take), np.int32)),
+                )
+            state = new_state
             for row, r in enumerate(take):
                 slot_req[slots[row]] = r
                 slot_budget[slots[row]] = r.budget
             return state
 
-        decode = self._decode_fn()
+        decode = self._decode_spec_fn() if self.spec else self._decode_fn()
         while queue or any(r is not None for r in slot_req):
             state = refill(state)
             self.stats["chunks"] += 1
+            if self.spec:
+                state, (win, ns, dones) = decode(self.params, state)
+                win, ns, dones = np.asarray(win), np.asarray(ns), np.asarray(dones)
+                self.stats["spec_steps"] += int((ns > 0).sum())
+                self.stats["spec_committed"] += int(ns.sum())
+                for i in range(b):
+                    r = slot_req[i]
+                    if r is None:
+                        continue
+                    for j in range(self.chunk):
+                        n = int(ns[i, j])
+                        r.out.extend(int(t) for t in win[i, j, :n])
+                        if dones[i, j] or len(r.out) >= slot_budget[i]:
+                            results[r.rid] = r.out[: int(slot_budget[i])]
+                            slot_req[i] = None
+                            break
+                continue
             state, toks = decode(self.params, state)
             toks = np.asarray(toks)  # (B, chunk) tokens emitted this chunk
             for i in range(b):

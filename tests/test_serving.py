@@ -98,6 +98,27 @@ def test_prefix_cache_skips_unshared_jobs():
     assert server.stats["prefix_len"] == 0
 
 
+def test_speculative_server_matches_greedy_server():
+    """Continuous batching x n-gram speculation: the slot pool running verify
+    windows commits exactly the greedy token stream (same completions, same
+    budgets), with >= 1 token per verify step. Composed with prefix caching
+    to cover both refill paths feeding the spec state."""
+    tok, cfg, params = _setup()
+    template = "Findings template shared by every request in this job: "
+    bodies = ["aaa bbb aaa bbb aaa", "repeat repeat repeat", "q", "zz yy zz yy"]
+    prompts = [template + b for b in bodies]
+    budgets = [7, 3, 9, 5]
+    kw = dict(n_slots=2, max_new_tokens=9, chunk=3, seq_quant=16,
+              max_prompt_len=128, attn_impl="xla")
+    base = TextServer(params, cfg, tok, **kw).generate(prompts, max_new=budgets)
+    spec = TextServer(params, cfg, tok, speculate=4, **kw)
+    outs = spec.generate(prompts, max_new=budgets)
+    assert outs == base
+    assert spec.stats["prefix_len"] >= 32  # both features active together
+    assert spec.stats["spec_steps"] > 0
+    assert spec.stats["spec_committed"] >= spec.stats["spec_steps"]
+
+
 def test_grounded_server_matches_batch_path():
     """GroundedServer (continuous multimodal serving) produces the same texts
     and SAM masks as the one-shot generate_grounded batch path."""
