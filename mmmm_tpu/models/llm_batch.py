@@ -30,6 +30,7 @@ def make_text_generator(
     attn_impl: str = "auto",
     continuous: bool = False,
     max_prompt_len: int = 1024,
+    speculate: int = 0,
 ):
     """Returns ``generate(prompts: list[str]) -> list[str]``.
 
@@ -38,7 +39,10 @@ def make_text_generator(
     jobs with varied completion lengths (tagging's early "no findings" exits,
     judge single-token replies) pay mean length, not max — the property the
     reference gets from vLLM's continuous batching. Outputs are identical to
-    the static path (greedy, slot-independent)."""
+    the static path (greedy, slot-independent). The server also prefix-caches
+    the job's shared instruction template automatically, and ``speculate=k``
+    adds k-token n-gram lookahead per decode step (templated medical reports
+    accept drafts often; still token-identical to greedy)."""
     if continuous:
         from .serving import TextServer
 
@@ -46,6 +50,7 @@ def make_text_generator(
             params, cfg, tokenizer, n_slots=batch_size,
             max_new_tokens=max_new_tokens, seq_quant=seq_quant,
             max_prompt_len=max_prompt_len, attn_impl=attn_impl,
+            speculate=speculate,
         )
         return server.generate
 

@@ -183,7 +183,10 @@ def main(argv=None):
     ap.add_argument("--tokenizer", help="tokenizer path for --params")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--continuous", action="store_true",
-                    help="slot-pool continuous batching (mid-flight refill)")
+                    help="slot-pool continuous batching (mid-flight refill, "
+                         "automatic template prefix caching)")
+    ap.add_argument("--speculate", type=int, default=0,
+                    help="n-gram speculative draft length (continuous only)")
     args = ap.parse_args(argv)
 
     if args.rule_based:
@@ -200,7 +203,8 @@ def main(argv=None):
                else MMMMTokenizer.byte_fallback())
         params = load_params(args.params)
         fn = make_text_generator(params, cfg, tok, max_new_tokens=args.max_new_tokens,
-                                 continuous=args.continuous)
+                                 continuous=args.continuous,
+                                 speculate=args.speculate)
         name = "llm"
     else:
         ap.error("pass --rule-based or --params")

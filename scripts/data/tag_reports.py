@@ -109,7 +109,10 @@ def main(argv=None):
     ap.add_argument("--tokenizer", help="tokenizer path for --params")
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--continuous", action="store_true",
-                    help="slot-pool continuous batching (mid-flight refill)")
+                    help="slot-pool continuous batching (mid-flight refill, "
+                         "automatic template prefix caching)")
+    ap.add_argument("--speculate", type=int, default=0,
+                    help="n-gram speculative draft length (continuous only)")
     args = ap.parse_args(argv)
 
     generate_fn = None
@@ -127,7 +130,7 @@ def main(argv=None):
                else MMMMTokenizer.byte_fallback())
         generate_fn = make_text_generator(
             load_params(args.params), cfg, tok, max_new_tokens=args.max_new_tokens,
-            continuous=args.continuous,
+            continuous=args.continuous, speculate=args.speculate,
         )
     tag_dataset(Path(args.dir), args.split, Path(args.out), generate_fn)
 
