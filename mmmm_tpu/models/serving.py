@@ -590,6 +590,7 @@ class GroundedServer:
         max_prompt_len: int = 256,
         max_targets: int = 8,
         attn_impl: str = "auto",
+        speculate: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -604,9 +605,18 @@ class GroundedServer:
         self.max_prompt = max_prompt_len
         self.max_targets = max_targets
         self.attn_impl = attn_impl
-        self.smax = _bucket(max_prompt_len + max_new_tokens + chunk, seq_quant)
+        # n-gram speculation (as in TextServer), extended to the grounded
+        # path: the hidden ring buffer takes k-wide window writes so SAM
+        # prompting still gathers the exact hidden state of every </p>
+        self.spec = speculate
+        self.smax = _bucket(
+            max_prompt_len + max_new_tokens + chunk + (speculate + 1), seq_quant
+        )
         self._jit: dict = {}
-        self.stats = {"chunks": 0, "refills": 0, "refilled_mid_flight": 0}
+        self.stats = {
+            "chunks": 0, "refills": 0, "refilled_mid_flight": 0,
+            "spec_steps": 0, "spec_committed": 0,
+        }
 
     # ---- jitted stages ----------------------------------------------------
 
@@ -711,6 +721,103 @@ class GroundedServer:
             self._jit["decode"] = run
         return self._jit["decode"]
 
+    def _decode_spec(self):
+        """Speculative chunk for the grounded path: the TextServer verify
+        window plus k-wide hidden-ring-buffer writes — ``hbuf[emitted + j]``
+        holds the hidden state that produced generated token ``emitted + j``,
+        exactly the greedy convention SAM prompting gathers from."""
+        if "decode" not in self._jit:
+            cfg, attn_impl, chunk, smax = self.cfg, self.attn_impl, self.chunk, self.smax
+            max_new = self.max_new
+            k = self.spec + 1
+            eos, bop, eop = (
+                self.tok.eos_token_id, self.tok.bop_token_id, self.tok.eop_token_id,
+            )
+            from .speculate import ngram_draft
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def run(params, state):
+                j_idx = jnp.arange(k)[None, :]
+                upd_row = jax.vmap(
+                    lambda a, u, i: jax.lax.dynamic_update_slice_in_dim(a, u, i, axis=0)
+                )
+
+                def step(st, _):
+                    active = (~st["done"]) & (st["emitted"] < max_new)
+                    drafts = ngram_draft(st["hist"], st["hist_len"], n_draft=k - 1)
+                    window = jnp.concatenate([st["tok"][:, None], drafts], axis=1)
+                    prevs = jnp.concatenate(
+                        [st["prev_tok"][:, None], window[:, :-1]], axis=1
+                    )
+                    keep = (prevs == bop) | (window == eop)
+                    pos_w = st["pos"][:, None] + jnp.cumsum(
+                        1 - keep.astype(st["pos"].dtype), axis=1
+                    )
+                    emb = params["cogvlm"]["llm"]["embed_tokens"][window]
+                    write = jnp.minimum(st["write"], smax - k)
+                    kv_len = write[:, None] + jnp.arange(1, k + 1)[None, :]
+                    hidden_w, caches = llm_decode_step(
+                        params["cogvlm"]["llm"], cfg.vlm, emb, None, pos_w,
+                        st["caches"], write, kv_len, attn_impl=attn_impl,
+                    )
+                    logits = qdot(
+                        hidden_w, params["cogvlm"]["llm"]["lm_head"]
+                    ).astype(jnp.float32)
+                    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (window[:, 1:] == g[:, :-1]).astype(jnp.int32)
+                    a = jnp.cumprod(match, axis=1).sum(axis=1)
+                    noneos = jnp.cumprod((window != eos).astype(jnp.int32), axis=1)
+                    commit = (j_idx <= a[:, None]) & (noneos == 1)
+                    n_raw = commit.sum(axis=1)
+                    room = jnp.maximum(max_new - st["emitted"], 0)
+                    n = jnp.where(active, jnp.minimum(n_raw, room), 0)
+                    eos_hit = jnp.take_along_axis(noneos, a[:, None], axis=1)[:, 0] == 0
+                    last = jnp.maximum(n - 1, 0)[:, None]
+                    take_tok = lambda arr: jnp.take_along_axis(arr, last, axis=1)[:, 0]
+                    nxt = take_tok(g)
+                    done_new = st["done"] | (
+                        active
+                        & ((eos_hit & (n == n_raw)) | (nxt == eos)
+                           | (st["emitted"] + n >= max_new))
+                    )
+                    tok_new = jnp.where(active, jnp.where(done_new, eos, nxt), st["tok"])
+                    # hidden ring buffer: window token j was produced by
+                    # h_prev (j=0) / hidden_w[j-1]; inactive rows park in the
+                    # k-slot slack past max_new
+                    hid_window = jnp.concatenate(
+                        [st["h_prev"][:, None], hidden_w[:, : k - 1]], axis=1
+                    ).astype(st["hbuf"].dtype)
+                    off = jnp.where(active, st["emitted"], max_new)
+                    hbuf = upd_row(st["hbuf"], hid_window, off)
+                    h_new = jnp.where(
+                        active[:, None],
+                        jnp.take_along_axis(hidden_w, last[:, :, None], axis=1)[:, 0],
+                        st["h_prev"],
+                    )
+                    shifted = jnp.concatenate([window[:, 1:], window[:, -1:]], axis=1)
+                    hist_vals = jnp.where(j_idx == last, tok_new[:, None], shifted)
+                    off_hist = jnp.where(active, st["hist_len"], smax - k)
+                    new = {
+                        "caches": caches,
+                        "tok": tok_new,
+                        "prev_tok": jnp.where(active, take_tok(window), st["prev_tok"]),
+                        "pos": jnp.where(active, take_tok(pos_w), st["pos"]),
+                        "write": write + n,
+                        "done": done_new,
+                        "hbuf": hbuf,
+                        "h_prev": h_new,
+                        "hist": upd_row(st["hist"], hist_vals, off_hist),
+                        "hist_len": st["hist_len"] + n,
+                        "emitted": st["emitted"] + n,
+                    }
+                    return new, (window, n, done_new)
+
+                state, (toks, ns, dones) = jax.lax.scan(step, state, None, length=chunk)
+                return state, (toks.swapaxes(0, 1), ns.T, dones.T)
+
+            self._jit["decode"] = run
+        return self._jit["decode"]
+
     def _ground(self, f: int):
         key = ("ground", f)
         if key not in self._jit:
@@ -757,9 +864,21 @@ class GroundedServer:
             "pos": jnp.zeros((b,), jnp.int32),
             "write": jnp.zeros((b,), jnp.int32),
             "done": jnp.ones((b,), bool),
-            "cnt": jnp.zeros((b,), jnp.int32),
-            "hbuf": jnp.zeros((b, self.max_new, c), cdt),
         }
+        if self.spec:
+            state.update(
+                # k-slot slack: inactive rows park full windows past max_new
+                hbuf=jnp.zeros((b, self.max_new + self.spec + 1, c), cdt),
+                h_prev=jnp.zeros((b, c), cdt),
+                hist=jnp.zeros((b, smax), jnp.int32),
+                hist_len=jnp.ones((b,), jnp.int32),
+                emitted=jnp.zeros((b,), jnp.int32),
+            )
+        else:
+            state.update(
+                cnt=jnp.zeros((b,), jnp.int32),
+                hbuf=jnp.zeros((b, self.max_new, c), cdt),
+            )
         slot_rid: list[int | None] = [None] * b
         slot_out: list[list[int]] = [[] for _ in range(b)]
 
@@ -800,18 +919,37 @@ class GroundedServer:
                 "tok": tok0[rows], "prev_tok": last_tok[rows], "pos": last_pos[rows],
                 "write": jnp.asarray(plen)[rows],
                 "done": (tok0 == tok.eos_token_id)[rows],
-                "cnt": jnp.zeros((len(take),), jnp.int32),
-                "hbuf": jnp.zeros((len(take), self.max_new, c), cdt).at[:, 0].set(
-                    last_hidden[rows].astype(cdt)
-                ),
             }
+            if self.spec:
+                hr = np.zeros((len(take), self.smax), np.int32)
+                tok0_np = np.asarray(tok0)
+                for row, r in enumerate(take):
+                    L = len(requests[r]["input_ids"])
+                    hr[row, :L] = requests[r]["input_ids"]
+                    hr[row, L] = tok0_np[row]
+                sub.update(
+                    hbuf=jnp.zeros(
+                        (len(take), self.max_new + self.spec + 1, c), cdt
+                    ).at[:, 0].set(last_hidden[rows].astype(cdt)),
+                    h_prev=last_hidden[rows].astype(cdt),
+                    hist=jnp.asarray(hr),
+                    hist_len=jnp.asarray(plen)[rows] + 1,
+                    emitted=jnp.zeros((len(take),), jnp.int32),
+                )
+            else:
+                sub.update(
+                    cnt=jnp.zeros((len(take),), jnp.int32),
+                    hbuf=jnp.zeros((len(take), self.max_new, c), cdt).at[:, 0].set(
+                        last_hidden[rows].astype(cdt)
+                    ),
+                )
             state = self._scatter()(state, sub, slots)
             for row, r in enumerate(take):
                 slot_rid[int(slots[row])] = r
                 slot_out[int(slots[row])] = []
             return state
 
-        decode = self._decode()
+        decode = self._decode_spec() if self.spec else self._decode()
         pending_ground: list[tuple[int, int]] = []  # (rid, slot) awaiting SAM
 
         def flush_ground(state):
@@ -852,30 +990,49 @@ class GroundedServer:
                 )
                 results[rid]["target_valid"] = valid[row]
 
+        def finish(rid, i):
+            out = np.asarray(slot_out[i][: self.max_new], np.int64)
+            results[rid] = {
+                "tokens": out,
+                "text": tok.decode([int(x) for x in out]),
+                "targets": tok.parse_targets(out[None])[0],
+            }
+            pending_ground.append((rid, i))
+            slot_rid[i] = None
+
         while queue or any(r is not None for r in slot_rid):
             state = refill(state)
             self.stats["chunks"] += 1
-            state, toks = decode(self.params, state)
-            toks = np.asarray(toks)
-            for i in range(b):
-                rid = slot_rid[i]
-                if rid is None:
-                    continue
-                for t in toks[i]:
-                    t = int(t)
-                    done = t == tok.eos_token_id
-                    if not done:
-                        slot_out[i].append(t)
-                    if done or len(slot_out[i]) >= self.max_new:
-                        out = np.asarray(slot_out[i], np.int64)
-                        results[rid] = {
-                            "tokens": out,
-                            "text": tok.decode([int(x) for x in out]),
-                            "targets": tok.parse_targets(out[None])[0],
-                        }
-                        pending_ground.append((rid, i))
-                        slot_rid[i] = None
-                        break
+            if self.spec:
+                state, (win, ns, dones) = decode(self.params, state)
+                win, ns, dones = np.asarray(win), np.asarray(ns), np.asarray(dones)
+                self.stats["spec_steps"] += int((ns > 0).sum())
+                self.stats["spec_committed"] += int(ns.sum())
+                for i in range(b):
+                    rid = slot_rid[i]
+                    if rid is None:
+                        continue
+                    for j in range(self.chunk):
+                        n = int(ns[i, j])
+                        slot_out[i].extend(int(t) for t in win[i, j, :n])
+                        if dones[i, j] or len(slot_out[i]) >= self.max_new:
+                            finish(rid, i)
+                            break
+            else:
+                state, toks = decode(self.params, state)
+                toks = np.asarray(toks)
+                for i in range(b):
+                    rid = slot_rid[i]
+                    if rid is None:
+                        continue
+                    for t in toks[i]:
+                        t = int(t)
+                        done = t == tok.eos_token_id
+                        if not done:
+                            slot_out[i].append(t)
+                        if done or len(slot_out[i]) >= self.max_new:
+                            finish(rid, i)
+                            break
             # ground finished requests BEFORE their slots are refilled (the
             # ring buffer row is reused by the next occupant)
             flush_ground(state)

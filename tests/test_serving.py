@@ -119,6 +119,33 @@ def test_speculative_server_matches_greedy_server():
     assert spec.stats["spec_committed"] >= spec.stats["spec_steps"]
 
 
+N_VIS = 1 * 4 * 4 + 2  # (3,4,16,16) image, patch 4, pool 1 -> 16 tokens + boi/eoi
+
+
+def _grounded_reqs(b=5):
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    reqs = []
+    for i in range(b):
+        text_len = 6 + 3 * i
+        s = 1 + N_VIS + text_len
+        ids = _np.concatenate([
+            [1], _np.full(N_VIS, 3), rng.integers(4, 250, size=text_len)
+        ]).astype(_np.int32)
+        tt = _np.zeros(s, _np.int32)
+        tt[1 : 1 + N_VIS] = 1
+        pos = _np.concatenate([
+            [0, 1], _np.full(N_VIS - 2, 2), [3], _np.arange(4, 4 + text_len)
+        ]).astype(_np.int32)
+        reqs.append({
+            "input_ids": ids, "token_type_ids": tt, "position_ids": pos,
+            "image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
+            "grounding_image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
+        })
+    return reqs
+
+
 def test_grounded_server_matches_batch_path():
     """GroundedServer (continuous multimodal serving) produces the same texts
     and SAM masks as the one-shot generate_grounded batch path."""
@@ -130,28 +157,11 @@ def test_grounded_server_matches_batch_path():
     tok = MMMMTokenizer.byte_fallback()
     cfg = MMMMConfig.tiny(vocab_size=len(tok))
     params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
-    rng = _np.random.default_rng(0)
 
-    n_vis = 1 * 4 * 4 + 2  # (3,4,16,16) image, patch 4, pool 1 -> 16 tokens + boi/eoi
+    n_vis = N_VIS
     patch, pool = (4, 4, 4), (1, 1, 1)
     b = 5
-    reqs = []
-    for i in range(b):
-        text_len = 6 + 3 * i
-        s = 1 + n_vis + text_len
-        ids = _np.concatenate([
-            [1], _np.full(n_vis, 3), rng.integers(4, 250, size=text_len)
-        ]).astype(_np.int32)
-        tt = _np.zeros(s, _np.int32)
-        tt[1 : 1 + n_vis] = 1
-        pos = _np.concatenate([
-            [0, 1], _np.full(n_vis - 2, 2), [3], _np.arange(4, 4 + text_len)
-        ]).astype(_np.int32)
-        reqs.append({
-            "input_ids": ids, "token_type_ids": tt, "position_ids": pos,
-            "image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
-            "grounding_image": rng.normal(size=(3, 4, 16, 16)).astype(_np.float32),
-        })
+    reqs = _grounded_reqs(b)
 
     # reference: one batched generate_grounded over all requests (right-pad)
     smax = max(len(r["input_ids"]) for r in reqs)
@@ -181,6 +191,33 @@ def test_grounded_server_matches_batch_path():
     for i in range(b):
         _np.testing.assert_allclose(
             _np.asarray(out[i]["masks"]), _np.asarray(ref.masks)[i], atol=2e-4
+        )
+
+
+def test_grounded_server_speculative_matches_greedy():
+    """Speculative grounded serving: same texts AND the same SAM masks as the
+    greedy server — the k-wide ring-buffer writes must preserve the exact
+    hidden state of every </p> position that prompts the SAM pass."""
+    import numpy as _np
+
+    from mmmm_tpu.models.serving import GroundedServer
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    reqs = _grounded_reqs(4)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    kw = dict(patch_size=(4, 4, 4), pool_size=(1, 1, 1), n_vis=N_VIS,
+              n_slots=2, max_new_tokens=6, chunk=3, seq_quant=16,
+              max_prompt_len=smax, max_targets=2, attn_impl="xla")
+    base = GroundedServer(params, cfg, tok, **kw).generate(reqs)
+    spec_srv = GroundedServer(params, cfg, tok, speculate=3, **kw)
+    out = spec_srv.generate(reqs)
+    assert [o["text"] for o in out] == [o["text"] for o in base]
+    assert spec_srv.stats["spec_steps"] > 0
+    for i in range(len(reqs)):
+        _np.testing.assert_allclose(
+            _np.asarray(out[i]["masks"]), _np.asarray(base[i]["masks"]), atol=2e-4
         )
 
 
