@@ -46,10 +46,10 @@ BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "24"))
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
-# KV cache dtype: bf16 wins at the serving S here (320 slots — the int8
-# kernel's VPU dequant outweighs the ~1.2 GB/step cache-read saving; measured
-# 8.18 vs 7.21 rep/s); int8 is the long-context option (cache reads scale
-# with S, dequant cost doesn't).
+# KV cache dtype: bf16 wins at every measured length (int8's (S, D) VPU
+# casts scale with S exactly like the read stream they save — longctx probe:
+# q8 ~1.7x slower at S=512..8192); int8 KV is a CAPACITY option only
+# (2x context / pool slots per HBM byte).
 KV_DTYPE = os.environ.get("MMMM_BENCH_KV", "bf16")  # "bf16" | "int8"
 # N-gram speculative decoding draft length (0 = greedy). Token-identical to
 # greedy by construction; the acceptance rate on THIS bench is unrepresentative

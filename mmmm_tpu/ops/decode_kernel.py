@@ -45,8 +45,9 @@ def _decode_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 def _decode_kernel_q8(klen_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *, scale: float):
     """Int8-KV variant: K/V stream from HBM as int8 + per-slot bf16 scales
-    (half the cache bytes of bf16 — decode is bandwidth-bound, so ~2x at
-    long S). logits = (q . k_q) * k_s; out = sum (p * v_s) * v_q.
+    (half the cache BYTES of bf16 — a capacity option; measured slower than
+    bf16 at every S because the (S, D) int8->f32 casts are VPU work that
+    scales with S). logits = (q . k_q) * k_s; out = sum (p * v_s) * v_q.
 
     Grid is (B, H / head_chunk) with chunked K/V blocks: a fully-unrolled
     32-head loop holds every head's f32 temporaries on the scoped-vmem stack

@@ -106,9 +106,11 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
 
 def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-slot symmetric int8 over the head dim: (..., D) -> (int8 (..., D),
-    bf16 scale (..., 1)). Decode is HBM-bound on cache reads at long S; int8
-    KV halves that traffic (the ROADMAP 'next 2x at long S' lever). One scale
-    per (batch, head, slot) keeps the quantization error per-token local."""
+    bf16 scale (..., 1)). Halves KV-cache HBM *capacity* (2x context length /
+    pool slots per byte); measured NOT a speed option at any length — the
+    (S, D) int8->f32 casts are VPU work that scales with S exactly like the
+    read stream they save (see ROADMAP). One scale per (batch, head, slot)
+    keeps the quantization error per-token local."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
