@@ -38,11 +38,12 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = 128
-# B24 is the measured sweet spot after the round-3 prefill-transient fixes
-# (unrolled llm_prefill + chunked patch-embed im2col): 9.97 rep/s vs 8.9 at
-# B16. B32 still runtime-OOMs on the bf16 KV cache. Override with
+# B28 is the measured sweet spot after the round-3 prefill-transient fixes
+# (unrolled llm_prefill + chunked patch-embed im2col): 11.91 rep/s vs 10.85
+# at B24, both with the full-read decode kernel (2026-08-18 on-chip sweep).
+# B32 still runtime-OOMs on the bf16 KV cache. Override with
 # MMMM_BENCH_BATCH.
-BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "24"))
+BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "28"))
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12

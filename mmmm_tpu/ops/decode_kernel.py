@@ -300,13 +300,15 @@ _FULL_READ_VMEM_BUDGET = 12 * 1024 * 1024
 def _ragged_choice(smax: int, full_read_bytes: int, default: bool) -> int | None:
     """Block size for the ragged kernel, or None to use the full-read kernel.
 
-    On-chip smoke (2026-08-18, B24 H32 D128): bf16 ragged is ~7% faster than
-    the full read at serving S=320 with mixed lengths and the only lowerable
-    option at S=2048 — so bf16 DEFAULTS to ragged (MMMM_RAGGED_DECODE=0 opts
-    out). The int8-KV ragged kernel measured slower at both S (VPU dequant
-    dominates; 0.296 vs 0.173 ms at S=320) — q8 defaults to the full read
-    (=1 opts in). Either way the ragged kernel is forced when the full K+V
-    read cannot lower at all."""
+    On-chip (2026-08-18, B24/B28 H32 D128): the isolated-kernel smoke had
+    bf16 ragged ~7% faster at S=320, but END-TO-END serving at B28 measured
+    the full read faster (11.91 vs 11.72 rep/s — the serving decode schedule
+    spends most steps at S<320 where skipped blocks don't pay), so bf16 now
+    defaults to the full read too (MMMM_RAGGED_DECODE=1 opts in). The
+    int8-KV ragged kernel measured slower at both S (VPU dequant dominates;
+    0.296 vs 0.173 ms at S=320) — q8 likewise defaults to the full read.
+    Either way the ragged kernel is forced when the full K+V read cannot
+    lower at all (S=2048 bf16: 64 MB > VMEM)."""
     env = os.environ.get("MMMM_RAGGED_DECODE")
     want = default if env is None else env == "1"
     must = full_read_bytes > _FULL_READ_VMEM_BUDGET
@@ -379,16 +381,16 @@ def decode_attention_pallas(
 ) -> jnp.ndarray:
     """Returns (B, 1, H, D); same contract as ``decode_attention_bhsd`` with a
     prefix-valid mask (slots [0, kv_len) are real). Dispatches to the ragged
-    (length-aware-read) kernel per ``_ragged_choice``: default ON for bf16
-    (MMMM_RAGGED_DECODE=0 opts out), forced when the full K+V read exceeds
-    VMEM."""
+    (length-aware-read) kernel per ``_ragged_choice``: default OFF at serving
+    lengths (MMMM_RAGGED_DECODE=1 opts in), forced when the full K+V read
+    exceeds VMEM."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
     smax = k_cache.shape[2]
     # per-cell footprint: the (1, H, S, D) K+V blocks the full-read kernel loads
     full_bytes = 2 * h * smax * d * k_cache.dtype.itemsize
-    bs = _ragged_choice(smax, full_bytes, default=True)
+    bs = _ragged_choice(smax, full_bytes, default=False)
     if bs is not None:
         return decode_attention_pallas_ragged(
             q, k_cache, v_cache, kv_len, scale=scale, block_s=bs

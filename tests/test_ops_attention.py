@@ -212,8 +212,9 @@ def test_ragged_choice_forced_by_vmem():
 
 
 def test_ragged_choice_defaults_and_env(monkeypatch):
-    """bf16 defaults ragged ON, q8 OFF (on-chip smoke 2026-08-18); the env
-    overrides both directions."""
+    """Both dtypes default ragged OFF at serving lengths (end-to-end B28
+    sweep 2026-08-18: full read 11.91 vs ragged 11.72 rep/s); the env
+    overrides both directions, and VMEM overflow still forces ragged."""
     from mmmm_tpu.ops.decode_kernel import _ragged_choice
 
     monkeypatch.delenv("MMMM_RAGGED_DECODE", raising=False)
