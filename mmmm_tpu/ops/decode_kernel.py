@@ -86,7 +86,10 @@ def decode_attention_pallas_q8(
 ) -> jnp.ndarray:
     """Int8-KV-cache decode attention; contract matches ``decode_attention_pallas``.
     Dispatches to the ragged (length-aware-read) variant when the cache is
-    long enough for skipped blocks to pay (MMMM_RAGGED_DECODE gate)."""
+    long enough for skipped blocks to pay (MMMM_RAGGED_DECODE gate).
+    MMMM_Q8_MXU=1 opts into the split-int8 MXU kernel — measured SLOWER than
+    the VPU-dequant kernel on-chip (see ``_decode_kernel_q8_mxu``), kept as a
+    documented negative result."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, _, h, d = q.shape
@@ -95,6 +98,15 @@ def decode_attention_pallas_q8(
     # per-cell footprint: (1, chunk, S, D) int8 K+V plus their scales
     full_bytes = 2 * chunk * smax * (d + k_s.dtype.itemsize)
     bs = _ragged_choice(smax, full_bytes, default=False)
+    # The MXU kernel's true VMEM footprint includes Mosaic's f32 upcast of
+    # each (S, D) int8 matmul operand (~8 bytes/elem live at once); past
+    # ~S=1024 at chunk 8 it blows the 16 MB scoped budget, so only route
+    # short caches to it.
+    mxu_ok = 8 * chunk * smax * d <= _FULL_READ_VMEM_BUDGET
+    if bs is None and mxu_ok and os.environ.get("MMMM_Q8_MXU", "0") == "1":
+        return decode_attention_pallas_q8_mxu(
+            q, k_q, k_s, v_q, v_s, kv_len, scale=scale
+        )
     if bs is not None:
         return decode_attention_pallas_q8_ragged(
             q, k_q, k_s, v_q, v_s, kv_len, scale=scale, block_s=bs
@@ -176,6 +188,121 @@ def _decode_kernel_ragged(
     @pl.when(j == nblk - 1)
     def _flush():
         o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _q14_split(x: jnp.ndarray, amax_axes) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact 14-bit split-int8 encoding: x ≈ (hi*128 + lo) * s with hi, lo
+    int8 and s = amax/16256. hi = floor(x14/128) ∈ [-127, 127], lo = x14 -
+    128*hi ∈ [0, 127]; both fit int8 so a pair of int8 MXU dots reconstructs
+    the 14-bit dot exactly (128*⟨k, hi⟩ + ⟨k, lo⟩)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=amax_axes, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 16256.0
+    x14 = jnp.round(xf / s).astype(jnp.int32)
+    hi = x14 >> 7  # arithmetic shift = floor division by 128
+    lo = x14 - hi * 128
+    return hi.astype(jnp.int8), lo.astype(jnp.int8), s
+
+
+def _decode_kernel_q8_mxu(
+    klen_ref, qs_ref, qpair_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+    *, scale: float, chunk: int,
+):
+    """Int8-KV decode with the contractions expressed as int8 MXU matmuls.
+
+    MEASURED NEGATIVE RESULT (2026-08-18 on-chip, B28 H32 D128 S=320):
+    1.410 ms vs 1.106 (VPU-dequant q8) vs 0.854 (bf16 full read). The idea —
+    the plain q8 kernel's cost is the (S, D) int8->f32 dequant casts, so feed
+    the int8 bytes to the MXU directly:
+
+      logits  = (128*⟨kq, q_hi⟩ + ⟨kq, q_lo⟩) * ks * (qs*scale)   int8xint8->int32
+      weights = softmax row, folded with vs, re-split to (w_hi, w_lo)
+      out     = (128*⟨vqᵀ, w_hi⟩ + ⟨vqᵀ, w_lo⟩) * ws              int8xint8->int32
+
+    Both splits are exact 14-bit encodings (see _q14_split) and the kernel is
+    numerically correct (max_abs_err 0.0039 vs the dequantized reference).
+    But Mosaic on this stack has no native si8 matmul path: the VMEM OOM at
+    S=2048 (24 MB scoped for an 8 MB f32 image of the int8 operand) shows it
+    EMULATES the dot by upcasting the (S, D) operand to f32 — i.e. it does
+    the same casts the VPU kernel does, plus matmul padding overhead. Kept
+    behind MMMM_Q8_MXU=1 so the experiment is reproducible when Mosaic gains
+    a native int8 MXU path. Grid (B, H/chunk) like the plain q8 kernel."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    _, _, smax, _ = kq_ref.shape
+    klen = klen_ref[i]
+    slot = lax.broadcasted_iota(jnp.int32, (smax, 1), 0)
+    valid = slot < klen
+    dot32 = functools.partial(
+        lax.dot_general, preferred_element_type=jnp.int32
+    )
+    for h in range(chunk):
+        kq = kq_ref[0, h]  # (S, D) int8, stays int8
+        qpair = qpair_ref[0, h]  # (2, D) int8: rows = (hi, lo)
+        # (S, D) x (D, 2) int8 matmul on the MXU, int32 accumulation. The
+        # 2-column rhs dodges Mosaic's matrix-VECTOR special case (a VPU
+        # multiply+reduce that only supports f32); s14 = 128*hi-col + lo-col
+        # recombines the exact 14-bit dot.
+        sp = dot32(kq, qpair, (((1,), (1,)), ((), ())))  # (S, 2)
+        s32 = sp[:, 0:1] * 128 + sp[:, 1:2]  # (S, 1)
+        qs = qs_ref[i, j * chunk + h]  # f32 scalar (SMEM)
+        s = s32.astype(jnp.float32) * ks_ref[0, h].astype(jnp.float32) * (qs * scale)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(valid, p, 0.0)
+        denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+        w = (p / denom) * vs_ref[0, h].astype(jnp.float32)  # (S, 1) >= 0
+        wmax = jnp.maximum(jnp.max(w), 1e-30)
+        ws = wmax / 16256.0
+        w14 = jnp.round(w / ws).astype(jnp.int32)
+        whi = w14 >> 7  # [0, 127]
+        wpair = jnp.concatenate(
+            [whi, w14 - whi * 128], axis=1
+        ).astype(jnp.int8)  # (S, 2)
+        vq = vq_ref[0, h]  # (S, D) int8
+        # contract S: (S, D) x (S, 2) -> (D, 2)
+        op = dot32(vq, wpair, (((0,), (0,)), ((), ())))
+        o32 = op[:, 0] * 128 + op[:, 1]  # (D,)
+        o_ref[0, h, 0] = (o32.astype(jnp.float32) * ws).astype(o_ref.dtype)
+
+
+def decode_attention_pallas_q8_mxu(
+    q: jnp.ndarray,  # (B, 1, H, D)
+    k_q: jnp.ndarray,  # (B, H, S, D) int8
+    k_s: jnp.ndarray,  # (B, H, S, 1) bf16 scales
+    v_q: jnp.ndarray,  # (B, H, S, D) int8
+    v_s: jnp.ndarray,  # (B, H, S, 1)
+    kv_len: jnp.ndarray,  # (B,)
+    *,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """MXU-native int8-KV decode; contract matches ``decode_attention_pallas_q8``."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, _, h, d = q.shape
+    smax = k_q.shape[2]
+    chunk = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
+    qh = jnp.swapaxes(q, 1, 2).reshape(b, h, 1, d)
+    qhi, qlo, qs = _q14_split(qh, amax_axes=(-1, -2))
+    qpair = jnp.concatenate([qhi, qlo], axis=2)  # (B, H, 2, D)
+    qs_bh = qs.reshape(b, h)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8_mxu, scale=scale, chunk=chunk),
+        grid=(b, h // chunk),
+        in_specs=[
+            pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, h), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, 2, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, 1), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, 1, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(kv_len.astype(jnp.int32), qs_bh, qpair, k_q, k_s, v_q, v_s)
+    return out.reshape(b, 1, h, d)
 
 
 def _decode_kernel_q8_ragged(

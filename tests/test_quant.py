@@ -254,3 +254,63 @@ def test_decode_attention_q8_ragged_matches_dequantized():
         q, dequantize_kv(kq, ks, jnp.float32), dequantize_kv(vq, vs, jnp.float32), valid
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_q14_split_exact():
+    """The split-int8 encoding reconstructs the 14-bit quantization exactly:
+    x14 == 128*hi + lo with hi, lo in int8 range."""
+    from mmmm_tpu.ops.decode_kernel import _q14_split
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 5, 1, 32)) * 7.0, jnp.float32)
+    hi, lo, s = _q14_split(x, amax_axes=(-1, -2))
+    assert hi.dtype == jnp.int8 and lo.dtype == jnp.int8
+    assert int(jnp.min(lo)) >= 0 and int(jnp.max(lo)) <= 127
+    recon = (hi.astype(jnp.int32) * 128 + lo.astype(jnp.int32)).astype(jnp.float32) * s
+    x14 = jnp.round(x / s) * s
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x14), rtol=0, atol=0)
+    # 14-bit quantization error bound: half a step
+    assert float(jnp.max(jnp.abs(recon - x) / s)) <= 0.5 + 1e-5
+
+
+def test_decode_attention_q8_mxu_matches_dequantized():
+    """The MXU split-int8 kernel matches the dequantized reference at least as
+    tightly as the VPU-dequant kernel (14-bit weight precision)."""
+    from mmmm_tpu.ops.attention import decode_attention_bhsd
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_q8_mxu
+    from mmmm_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(3)
+    b, h, smax, d = 2, 8, 64, 16
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kv_len = jnp.asarray([40, 64], jnp.int32)
+    got = decode_attention_pallas_q8_mxu(q, kq, ks, vq, vs, kv_len)
+    valid = jnp.arange(smax)[None, :] < kv_len[:, None]
+    want = decode_attention_bhsd(
+        q, dequantize_kv(kq, ks, jnp.float32), dequantize_kv(vq, vs, jnp.float32), valid
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_decode_attention_q8_dispatch(monkeypatch):
+    """decode_attention_pallas_q8 routes to the VPU-dequant kernel by default
+    (the MXU kernel measured slower on-chip — Mosaic emulates si8 matmuls)
+    and to the MXU kernel under MMMM_Q8_MXU=1; outputs agree."""
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_q8
+    from mmmm_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(4)
+    b, h, smax, d = 2, 4, 64, 16
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+    kq, ks = quantize_kv(jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32))
+    vq, vs = quantize_kv(jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.float32))
+    kv_len = jnp.asarray([33, 64], jnp.int32)
+    monkeypatch.setenv("MMMM_Q8_MXU", "1")
+    mxu = decode_attention_pallas_q8(q, kq, ks, vq, vs, kv_len)
+    monkeypatch.delenv("MMMM_Q8_MXU", raising=False)
+    vpu = decode_attention_pallas_q8(q, kq, ks, vq, vs, kv_len)
+    np.testing.assert_allclose(np.asarray(mxu), np.asarray(vpu), rtol=4e-3, atol=4e-3)
