@@ -229,13 +229,87 @@ def probe_longctx(out):
         out.append(rec)
 
 
+def probe_stages(out, only: str | None = None):
+    """Serving wall-clock split at the bench config (B28, W8A16): ViT-only,
+    full prefill (ViT + LLM + first logits), SAM grounding stage, and the
+    end-to-end loop — so the next optimization targets the actual
+    bottleneck, not a guess. Holding several compiled 6.5 B stages at once
+    OOMs the 16 GB chip, so run ONE stage per process:
+
+        for s in vit prefill sam end_to_end; do
+            python scripts/tpu_probes.py stages --only $s; done
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    def timed(name, fn, reps=3):
+        fn()  # compile + warm
+        t0 = time.time()
+        for _ in range(reps):
+            fn()
+        dt = (time.time() - t0) / reps
+        rec = {"probe": "serving_stage", "stage": name, "ms": round(dt * 1e3, 1)}
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+        return dt
+
+    run, flops, params, cfg = bench.build()
+    b = bench.BATCH
+
+    if only in (None, "vit"):
+        from mmmm_tpu.models.cogvlm.vit import vit_forward
+
+        image = jnp.ones((b, 3, 32, 384, 384), jnp.bfloat16)
+
+        @jax.jit
+        def vit_only(p, im):
+            return vit_forward(
+                p["cogvlm"]["vision"], cfg.vlm, im, (16, 16, 16), (2, 2, 2)
+            )
+
+        timed(
+            "vit",
+            lambda: np.asarray(jnp.sum(vit_only(params, image).astype(jnp.float32))),
+        )
+
+    if only in (None, "prefill"):
+        prefill_run = bench.build_prefill(params, cfg)
+        timed("prefill", prefill_run)
+
+    if only in (None, "sam"):
+        from mmmm_tpu.models.inference import _grounding_stage
+
+        hidden = jnp.ones(
+            (b, bench.PROMPT_LEN + bench.MAX_NEW_TOKENS, cfg.vlm.hidden_size),
+            jnp.bfloat16,
+        )
+        positions = jnp.zeros((b, 4), jnp.int32)
+        g_image = jnp.ones((b, 3, 32, 256, 256), jnp.float32)
+        stage = _grounding_stage(cfg, (16, 16, 16), False, "auto")
+        timed(
+            "sam",
+            lambda: np.asarray(
+                jnp.sum(stage(params, hidden, positions, g_image).astype(jnp.float32))
+            ),
+        )
+
+    if only in (None, "end_to_end"):
+        timed("end_to_end", run)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["ragged", "longctx"])
+    ap.add_argument("probe", choices=["ragged", "longctx", "stages"])
+    ap.add_argument("--only", default=None,
+                    help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
     out = []
     if args.probe == "ragged":
         probe_ragged(out)
+    elif args.probe == "stages":
+        probe_stages(out, only=args.only)
     else:
         probe_longctx(out)
     return out

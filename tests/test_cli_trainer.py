@@ -39,10 +39,44 @@ def test_build_dataclass_coercion():
 
 def test_phase_configs_load():
     root = Path(__file__).parent.parent
-    for phase in ("phase-vg", "phase-vlm", "phase-grg", "tiny"):
+    for phase in (
+        "phase-vg", "phase-vlm", "phase-grg", "phase-vg+vlm", "phase-1-hr",
+        "tiny",
+    ):
         cfg = load_yaml(root / "conf" / phase / "fit.yaml")
         assert cfg["optimizer"]["max_steps"] == cfg["trainer"]["max_steps"]
         assert "model" in cfg and "vlm" in cfg["model"]
+
+
+def test_auxiliary_configs_build():
+    """Every shipped config coerces through the real dataclass builders
+    (align-isam, finetune, model-hr): a YAML key that drifted from the
+    schema fails here, not at deployment."""
+    from mmmm_tpu.config import build
+    from mmmm_tpu.models import MMMMConfig
+    from mmmm_tpu.models.align import AlignConfig
+    from mmmm_tpu.models.segvol import SamConfig
+    from mmmm_tpu.peft import LoraConfig
+    from mmmm_tpu.train import OptimizerConfig
+    from mmmm_tpu.train.trainer import TrainerConfig
+
+    root = Path(__file__).parent.parent / "conf"
+    hr = load_yaml(root / "model-hr.yaml")
+    mcfg = build(MMMMConfig, hr)
+    assert mcfg.vlm.vision.pos_embed_shape == (8, 32, 32)
+
+    isam = load_yaml(root / "align-isam" / "fit.yaml")
+    build(SamConfig, isam["sam"])
+    build(AlignConfig, {"sam": isam["sam"], "instance": True})
+    build(OptimizerConfig, isam["optimizer"])
+    build(TrainerConfig, isam["trainer"])
+
+    for name in ("mmmm-vqa.yaml", "mmmm-report.yaml"):
+        ft = load_yaml(root / "finetune" / name)
+        assert "vlm" in ft["model"]
+        build(LoraConfig, ft["lora"])
+        build(OptimizerConfig, ft["optimizer"])
+        build(TrainerConfig, ft["trainer"])
 
 
 def test_cli_fit_end_to_end(tmp_path):
