@@ -1,0 +1,110 @@
+"""Exhaustive bf16 verification of the fitted exact-GELU (ops/gelu.py).
+
+bf16 has only 65536 values, so "for all inputs" is a literal test. Claims
+pinned here (and relied on to make the fitted path the bf16 default):
+
+  * outside the flushed classes, the fitted path is correctly rounded except
+    for a handful of half-ulp rounding ties (each within 1 bf16 ulp), while
+    ``jax.nn.gelu(approximate=False)`` deviates by 1 ulp on ~1400 inputs;
+  * the deep negative tail (x <= -5) flushes to 0 with |true gelu| < 1.3e-6;
+  * subnormal inputs/outputs may flush to 0 (TPU flushes subnormals anyway);
+  * the fitted path's worst absolute error is ~30x smaller than the chain's.
+
+Parity anchor: the reference uses exact-erf GELU
+(`/root/reference/mmmm/models/cogvlm/visual.py:115`).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmmm_tpu.ops.gelu import gelu, gelu_fitted
+
+MIN_NORMAL = 1.1754944e-38  # bf16/f32 share the exponent range
+
+
+@pytest.fixture(scope="module")
+def exhaustive():
+    from scipy.special import erf
+
+    bits = np.arange(65536, dtype=np.uint16)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.bfloat16)
+    x64 = np.asarray(x, np.float64)
+    finite = np.isfinite(x64)
+    xb = np.asarray(x)[finite]
+    x64 = x64[finite]
+    true = x64 * 0.5 * (1.0 + erf(x64 / np.sqrt(2.0)))
+    ref = np.asarray(jnp.asarray(true).astype(jnp.bfloat16))  # correctly rounded
+    got = np.asarray(jax.jit(gelu_fitted)(jnp.asarray(xb)))
+    old = np.asarray(jax.jit(lambda v: jax.nn.gelu(v, approximate=False))(jnp.asarray(xb)))
+    return x64, true, ref, got, old
+
+
+def _ulp(v64):
+    # bf16 ulp at v: spacing of the bf16 grid around |v|
+    return np.maximum(2.0 ** (np.floor(np.log2(np.maximum(np.abs(v64), MIN_NORMAL))) - 8), 9.2e-41)
+
+
+def test_exhaustive_classes(exhaustive):
+    x64, true, ref, got, old = exhaustive
+    g64 = got.astype(np.float64)
+    r64 = ref.astype(np.float64)
+
+    tail = x64 <= -5.0
+    assert np.all(g64[tail] == 0.0)
+    assert np.abs(true[tail]).max() < 1.3e-6
+
+    flushable = (np.abs(x64) < MIN_NORMAL) | (np.abs(true) < MIN_NORMAL)
+    sub = flushable & ~tail
+    assert np.all((got[sub] == ref[sub]) | (g64[sub] == 0.0))
+
+    main = ~tail & ~flushable
+    mism = got[main] != ref[main]
+    # correctly rounded except a handful of 1-ulp rounding ties
+    assert mism.sum() <= 40, f"{mism.sum()} mismatches in the main range"
+    assert np.all(np.abs(g64[main] - r64[main]) <= _ulp(r64[main]) + 1e-45)
+    # the erf chain deviates on an order of magnitude more inputs
+    old_mism = old[main] != ref[main]
+    assert old_mism.sum() >= 10 * max(int(mism.sum()), 1)
+
+
+def test_exhaustive_worst_error_beats_erf_chain(exhaustive):
+    x64, true, ref, got, old = exhaustive
+    err_new = np.abs(got.astype(np.float64) - true)
+    err_old = np.abs(np.where(np.isnan(old.astype(np.float64)), 0, old.astype(np.float64)) - true)
+    assert err_new.max() < err_old.max() / 10
+
+
+def test_fitted_special_values():
+    x = jnp.asarray([np.inf, -np.inf, 0.0, -0.0, np.nan], jnp.bfloat16)
+    out = np.asarray(gelu_fitted(x), np.float64)
+    assert out[0] == np.inf
+    assert out[1] == 0.0  # limit of gelu at -inf
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert np.isnan(out[4])
+
+
+def test_dispatcher_modes(monkeypatch):
+    x = jnp.asarray(np.linspace(-4, 4, 64), jnp.bfloat16)
+    monkeypatch.delenv("MMMM_GELU", raising=False)
+    monkeypatch.delenv("MMMM_FAST_GELU", raising=False)
+    np.testing.assert_array_equal(np.asarray(gelu(x)), np.asarray(gelu_fitted(x)))
+    # fp32 keeps the plain erf path untouched
+    xf = x.astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(xf)), np.asarray(jax.nn.gelu(xf, approximate=False))
+    )
+    monkeypatch.setenv("MMMM_GELU", "erf")
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x)), np.asarray(jax.nn.gelu(x, approximate=False))
+    )
+    monkeypatch.setenv("MMMM_GELU", "tanh")
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x)), np.asarray(jax.nn.gelu(x, approximate=True))
+    )
+    monkeypatch.delenv("MMMM_GELU")
+    monkeypatch.setenv("MMMM_FAST_GELU", "1")
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x)), np.asarray(jax.nn.gelu(x, approximate=True))
+    )
