@@ -32,17 +32,11 @@ from .config import CogVLMConfig, VisionConfig
 
 
 
-# serving knob: the EVA reference uses exact (erf) GELU; the tanh
-# approximation measured ~69 ms cheaper per 24-image prefill on v5e (erf
-# lowers to a long VPU polynomial). Off by default — parity first; serving
-# can opt in (max |err| ~3e-4 on N(0,1) activations, argmax-stable in bf16).
-import os as _os
-
-_FAST_GELU = _os.environ.get("MMMM_FAST_GELU", "0") == "1"
-
-
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=_FAST_GELU)
+# The EVA reference uses exact (erf) GELU; ops/gelu.py dispatches bf16 to a
+# fitted tanh-form kernel that is both ~erf-chain-exact (correctly rounded at
+# bf16) and as fast as the tanh approximation (~69 ms cheaper per 24-image
+# prefill on v5e). MMMM_GELU / legacy MMMM_FAST_GELU env knobs override.
+from ...ops.gelu import gelu as _gelu
 
 def init_vit_params(key, cfg: CogVLMConfig, dtype=jnp.float32) -> dict:
     v = cfg.vision

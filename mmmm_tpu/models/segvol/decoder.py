@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import layer_norm
+from ...ops.gelu import gelu
 from ...ops.resample import variable_upsample_3d
 from .config import SamConfig
 
@@ -162,8 +163,10 @@ def encode_mask_prompt(params: dict, mask: jnp.ndarray) -> jnp.ndarray:
         )
         return y + b
 
-    x = jax.nn.gelu(_ln_channels_last(p["ln1"], conv(x, p["conv1_w"], p["conv1_b"], 2)))
-    x = jax.nn.gelu(_ln_channels_last(p["ln2"], conv(x, p["conv2_w"], p["conv2_b"], 2)))
+    # reference uses nn.GELU (exact erf) here (prompt_encoder.py:21); jax's
+    # default approximate=True would be a parity drift.
+    x = gelu(_ln_channels_last(p["ln1"], conv(x, p["conv1_w"], p["conv1_b"], 2)))
+    x = gelu(_ln_channels_last(p["ln2"], conv(x, p["conv2_w"], p["conv2_b"], 2)))
     x = conv(x, p["conv3_w"], p["conv3_b"], 1)
     return x[0].transpose(3, 0, 1, 2)  # (C, d, h, w)
 
@@ -397,9 +400,9 @@ def mask_decoder_forward(
     up = src.T.reshape(1, c, gd, gh, gw)
     up = variable_upsample_3d(up, params["up1_w"], params["up1_b"], patch_size_z, cnt=0)
     up = _ln(params["up_ln"], up.transpose(0, 2, 3, 4, 1)).transpose(0, 4, 1, 2, 3)
-    up = jax.nn.gelu(up, approximate=False)
+    up = gelu(up)
     up = variable_upsample_3d(up, params["up2_w"], params["up2_b"], patch_size_z, cnt=1)
-    up = jax.nn.gelu(up, approximate=False)[0]  # (C/8, d', h', w')
+    up = gelu(up)[0]  # (C/8, d', h', w')
 
     hyper_sem = _mlp3(params["hyper_semantic"], mask_tokens_out[:1])  # (1, C/8)
     hyper_inst = _mlp3(params["hyper_instance"], mask_tokens_out[1:])  # (K, C/8)

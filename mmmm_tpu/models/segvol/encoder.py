@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import layer_norm, segment_attention
+from ...ops.gelu import gelu
 from ...ops.remat import remat_policy
 from ...ops.resample import resample_nd, variable_patch_embed_3d
 from .config import SamConfig
@@ -64,7 +65,7 @@ def _block(x, lp, *, num_heads: int, segments, attn_impl: str):
     ).reshape(b, s, c)
     x = x + jnp.dot(attn, lp["out_w"]) + lp["out_b"]
     h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
-    h = jax.nn.gelu(jnp.dot(h, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    h = gelu(jnp.dot(h, lp["fc1_w"]) + lp["fc1_b"])
     x = x + jnp.dot(h, lp["fc2_w"]) + lp["fc2_b"]
     return x
 

@@ -10,18 +10,21 @@ of a 24-image EVA prefill, ROADMAP), while tanh has fast hardware support.
 
 The fast path here evaluates
 
-    gelu(x) = x * 0.5 * (1 + tanh(u(x))),   u(x) ~= artanh(erf(x / sqrt(2)))
+    gelu(x) = x * sigmoid(2 u(x)),   u(x) ~= artanh(erf(x / sqrt(2)))
 
 with ``u`` a degree-15 odd minimax-fitted polynomial on [-5, 5] (max |du| =
 9.1e-6 — CDF error far below the bf16 half-ulp of 2^-9), computed in fp32
-from the bf16 input with a SINGLE final rounding. Exhaustively verified over
-all 65536 bf16 values (tests/test_gelu.py):
+from the bf16 input with a SINGLE final rounding. The sigmoid form matters:
+``0.5 * (1 + tanh(u))`` cancels catastrophically for u << 0 (the Gaussian
+CDF tail), while ``sigmoid(2u) = exp(2u) / (1 + exp(2u))`` keeps full fp32
+precision there. Exhaustively verified over all 65536 bf16 values
+(tests/test_gelu.py):
 
   * outside the flushed classes below it is CORRECTLY ROUNDED (one rounding
-    from f64) except for a handful of half-ulp ties, each within 1 bf16 ulp —
-    while ``jax.nn.gelu(approximate=False)`` is 1 ulp off on ~1400 inputs,
-    with 30x larger worst absolute error (1.6e-2 vs 4.9e-4);
-  * the deep negative tail x <= -5 flushes to exactly 0 (|true gelu| there
+    from f64) except for TWO half-ulp rounding ties, each off by a single
+    bf16 grid step — while ``jax.nn.gelu(approximate=False)`` lands off the
+    correctly-rounded value on ~770 inputs (up to ~2.9 ulps from f64 truth);
+  * the deep negative tail x < -5 flushes to exactly 0 (|true gelu| there
     < 1.3e-6, and gelu(-inf) becomes 0 instead of the chain's NaN);
   * subnormal inputs/outputs may flush to 0 (TPU flushes subnormals anyway).
 
@@ -69,8 +72,10 @@ def gelu_fitted(x: jax.Array) -> jax.Array:
     for c in _C[-2::-1]:
         u = c + x2 * u
     u = xc * u
-    out = xf * (np.float32(0.5) * (np.float32(1.0) + jnp.tanh(u)))
-    # Gaussian tail below the clamp: correctly-rounded |gelu| <= 1.5e-6 there;
+    # sigmoid(2u) == 0.5 * (1 + tanh(u)) exactly, but without the 1 + tanh
+    # cancellation that costs ~half the fp32 bits as u -> -inf.
+    out = xf * jax.nn.sigmoid(np.float32(2.0) * u)
+    # Gaussian tail below the clamp: correctly-rounded |gelu| <= 1.3e-6 there;
     # flush to 0 (matching the tail limit; also fixes gelu(-inf) = NaN).
     out = jnp.where(xf < -_CLAMP, np.float32(0.0), out)
     return out.astype(x.dtype)
