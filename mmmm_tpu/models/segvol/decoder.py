@@ -1,10 +1,12 @@
 """SAM prompt encoder + two-way transformer mask decoder.
 
 Equivalents of ``mmmm/models/segvol/modeling/{prompt_encoder,mask_decoder,
-transformer}.py``. Only the text-embedding prompt path is exercised by MMMM
-(prompts come from ``vg_proj`` of LLM hidden states, or a CLIP text encoder in
-stage 0); point/box/mask prompt embeddings exist for checkpoint compatibility
-but are not implemented here.
+transformer}.py``. The text-embedding prompt path is the one exercised by
+MMMM (prompts come from ``vg_proj`` of LLM hidden states, or a CLIP text
+encoder in stage 0); the point/box/mask prompt paths are ALSO implemented
+(``encode_point_prompt`` / ``encode_box_prompt`` / ``encode_mask_prompt``
+below, incl. the padding-point and label-identity rules — ref
+prompt_encoder.py:60-107) and covered by tests/test_prompt_encoder.py.
 
 The decoder runs per (sample, target) pair; callers vmap it over a padded,
 fixed-size target axis so every bucketed batch compiles to one static program.

@@ -43,8 +43,10 @@ def exhaustive():
     return x64, true, ref, got, old
 
 
-def _ulp(v64):
-    # bf16 ulp at v: spacing of the bf16 grid around |v|
+def _half_ulp(v64):
+    # HALF the bf16 grid spacing around |v| (7 stored mantissa bits -> ulp =
+    # 2^(e-7); this returns 2^(e-8)). Correct rounding == error <= 1.0 in
+    # these units.
     return np.maximum(2.0 ** (np.floor(np.log2(np.maximum(np.abs(v64), MIN_NORMAL))) - 8), 9.2e-41)
 
 
@@ -74,18 +76,19 @@ def test_exhaustive_classes(exhaustive):
 
 
 def test_exhaustive_worst_error_beats_erf_chain(exhaustive):
-    # ulp-relative worst error vs f64 truth (absolute error is the wrong
+    # half-ulp-relative worst error vs f64 truth (absolute error is the wrong
     # yardstick: a correctly-rounded result already carries up to half a bf16
     # ulp, ~0.0078 at |gelu| ~2.75, which dwarfs tail absolute errors).
     x64, true, ref, got, old = exhaustive
     tail = x64 < -5.0
     main = ~tail & (np.abs(true) >= MIN_NORMAL) & (np.abs(x64) >= MIN_NORMAL)
-    ulp = _ulp(true)
-    err_new = (np.abs(got.astype(np.float64) - true) / ulp)[main]
+    hulp = _half_ulp(true)
+    err_new = (np.abs(got.astype(np.float64) - true) / hulp)[main]
     o64 = np.where(np.isnan(old.astype(np.float64)), 0, old.astype(np.float64))
-    err_old = (np.abs(o64 - true) / ulp)[main]
+    err_old = (np.abs(o64 - true) / hulp)[main]
+    # units below are HALF-ulps: <=1.0 == correctly rounded
     assert err_new.max() <= 1.1  # correct rounding + single-step ties (1.004 measured)
-    assert err_old.max() > 2.0  # the chain strays beyond a full ulp
+    assert err_old.max() > 2.0  # the chain strays beyond a full ulp (2 half-ulps)
     assert err_new.max() < err_old.max()
 
 
