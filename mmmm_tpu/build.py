@@ -59,7 +59,12 @@ def build_dataset(cfg: dict, tokenizer, conf_dir: Path):
         from .data.target_tax import load_target_tax
 
         target_tax = load_target_tax(tax_path)
-    return MultiDataset(dconf, specs, tokenizer, target_tax=target_tax)
+    return MultiDataset(
+        dconf, specs, tokenizer, target_tax=target_tax,
+        # phase configs ship the full reference rosters; train on whatever
+        # subset is processed on disk (skip_missing: false to hard-fail)
+        skip_missing=bool(cfg.get("skip_missing", True)),
+    )
 
 
 def load_model_with_adapter(config_path: str, adapter: str | None,

@@ -37,6 +37,7 @@ class MultiDataset:
         inference: bool = False,
         seed: int | None = None,
         target_tax: dict | None = None,
+        skip_missing: bool = False,
     ):
         from .defs import (
             PROCESSED_LOCAL_DATA_ROOT,
@@ -50,10 +51,16 @@ class MultiDataset:
             "grg": PROCESSED_VG_DATA_ROOT,
         }
         self.conf = conf
-        self.specs = specs
         self.data_lists = []
+        kept, skipped = [], []
         for spec in specs:
             d = Path(spec.dir) if spec.dir else roots[spec.type] / spec.name
+            if skip_missing and not d.exists():
+                # roster-with-partial-data policy: the phase configs ship the
+                # FULL reference rosters (conf/phase-*/data.yaml); train on
+                # whichever subset exists on disk
+                skipped.append(spec.name)
+                continue
             if spec.type == "local":
                 self.data_lists.append(get_local_data_list(d, split))
             elif spec.type == "vl":
@@ -62,12 +69,42 @@ class MultiDataset:
                 self.data_lists.append(get_grg_data_list(d, split))
             else:
                 raise ValueError(spec.type)
+            kept.append(spec)
+        if skipped:
+            if not kept and specs:
+                raise FileNotFoundError(
+                    f"none of the {len(specs)} configured datasets exist on disk "
+                    f"(missing: {', '.join(skipped)})"
+                )
+            import sys
+
+            print(
+                f"[mmmm_tpu.data] skipping {len(skipped)} dataset(s) without "
+                f"processed data on disk: {', '.join(skipped)}",
+                file=sys.stderr,
+            )
+        self.specs = kept
+        # MIMIC-CXR negative-report reweighting (ref datamodule.py:48-62):
+        # per-sample multinomial weights giving no-anomaly reports a target
+        # share of conf.mimic_cxr_neg_weight within the dataset
+        self.sample_weights: list = [None] * len(self.specs)
+        if (w := getattr(conf, "mimic_cxr_neg_weight", None)) is not None:
+            assert 0 <= w <= 1
+            from .sampling import mimic_neg_weights
+            import numpy as np
+
+            for i, spec in enumerate(self.specs):
+                if spec.name == "MIMIC-CXR":
+                    has_anomaly = np.asarray(
+                        [len(d.get("anomaly_pos") or []) > 0 for d in self.data_lists[i]]
+                    )
+                    self.sample_weights[i] = mimic_neg_weights(has_anomaly, w)
         self.transforms = {}
-        if any(s.type == "local" for s in specs):
+        if any(s.type == "local" for s in self.specs):
             self.transforms["local"] = LocalTransform(conf, tokenizer, inference, target_tax, seed)
-        if any(s.type == "vl" for s in specs):
+        if any(s.type == "vl" for s in self.specs):
             self.transforms["vl"] = VLTransform(conf, tokenizer, inference, target_tax, seed)
-        if any(s.type == "grg" for s in specs):
+        if any(s.type == "grg" for s in self.specs):
             self.transforms["grg"] = GRGTransform(conf, tokenizer, inference, seed)
 
     def sizes(self) -> list[int]:
@@ -91,7 +128,8 @@ class MultiDataset:
         from which any rank can materialize the sample bit-identically via
         the per-sample RNG (``sampling.sample_rng``)."""
         sampler = WeightedMultiDatasetSampler(
-            [SamplerSpec(s.name, s.weight) for s in self.specs],
+            [SamplerSpec(s.name, s.weight, sample_weights=sw)
+             for s, sw in zip(self.specs, self.sample_weights)],
             self.sizes(),
             num_samples,
             seed=seed,
@@ -117,7 +155,8 @@ class MultiDataset:
         self, num_samples: int, seed: int = 42, rank: int = 0, world_size: int = 1
     ) -> Iterator[dict]:
         sampler = WeightedMultiDatasetSampler(
-            [SamplerSpec(s.name, s.weight) for s in self.specs],
+            [SamplerSpec(s.name, s.weight, sample_weights=sw)
+             for s, sw in zip(self.specs, self.sample_weights)],
             self.sizes(),
             num_samples,
             seed=seed,

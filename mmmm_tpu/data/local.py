@@ -76,6 +76,10 @@ class DatasetConf:
     bop_weight: float = 1.0
     max_targets: int = 8  # static grounded-target axis
     max_instances: int = 16  # static instance-label axis
+    # MIMIC-CXR negative-report (no anomaly_pos) target sampling share; None
+    # disables the reweighting (ref datamodule.py:48-62; phase-vlm sets 0.2,
+    # phase-grg 0.05 — conf/phase-*/data.yaml)
+    mimic_cxr_neg_weight: float | None = None
     local_trans: LocalTransConf = dataclasses.field(default_factory=LocalTransConf)
     vl_trans: object | None = None  # VLTransConf (set for vl datasets)
     grg_trans: object | None = None  # GRGTransConf (set for grg datasets)

@@ -49,12 +49,28 @@ def main(argv=None):
     out_dir = Path(trainer_cfg.get("out_dir", "runs/align-sam"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    # datasets + class index
-    data_lists = []
-    for spec in (cfg.get("data") or {}).get("datasets", []):
-        data_lists += get_local_data_list(Path(spec["dir"]))
+    # datasets + class index: specs are {name, weight?, dir?}; dir defaults to
+    # the processed-local root / name, and (like the trainer CLI) datasets
+    # without processed data on disk are skipped so the full reference roster
+    # (conf/align-sam/data.yaml, 41 datasets) ships in the config
+    from mmmm_tpu.data.defs import PROCESSED_LOCAL_DATA_ROOT
+
+    data_cfg = cfg.get("data") or {}
+    skip_missing = bool(data_cfg.get("skip_missing", True))
+    ds_lists, ds_weights, skipped = [], [], []
+    for spec in data_cfg.get("datasets", []):
+        d = Path(spec["dir"]) if spec.get("dir") else PROCESSED_LOCAL_DATA_ROOT / spec["name"]
+        if skip_missing and not d.exists():
+            skipped.append(spec.get("name", str(d)))
+            continue
+        ds_lists.append(get_local_data_list(d))
+        ds_weights.append(float(spec.get("weight", 1.0)))
+    if skipped:
+        print(f"skipping {len(skipped)} dataset(s) without processed data: "
+              f"{', '.join(skipped)}", flush=True)
+    data_lists = [item for dl in ds_lists for item in dl]
     if not data_lists:
-        raise SystemExit("no datasets configured (data.datasets[].dir)")
+        raise SystemExit("no datasets configured (data.datasets[].{name|dir})")
     from mmmm_tpu.data.sparse import Sparse
 
     names = set()
@@ -63,6 +79,10 @@ def main(argv=None):
         names |= {t.name for ts in sp.targets.values() for t in ts}
         names |= {n for ns in sp.neg_targets.values() for n in ns}
     class_to_idx = {n: i for i, n in enumerate(sorted(names))}
+    # per-case multinomial weights: dataset probability = weight * len
+    # (matching the trainer's WeightedMultiDatasetSampler semantics)
+    case_w = np.concatenate([np.full(len(dl), w) for dl, w in zip(ds_lists, ds_weights)])
+    case_p = case_w / case_w.sum()
     print(f"{len(data_lists)} cases, {len(class_to_idx)} classes", flush=True)
 
     # frozen class embeddings (from a text encoder dump, else random)
@@ -96,7 +116,7 @@ def main(argv=None):
     log_file = (out_dir / "metrics.jsonl").open("a")
     t0 = time.time()
     for it in range(1, max_steps + 1):
-        picks = rng.choice(len(data_lists), batch_size)
+        picks = rng.choice(len(data_lists), batch_size, p=case_p)
         batch = collate_align([tf(data_lists[i]) for i in picks])
         batch = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
         params, opt_state, logs = step(params, opt_state, batch)
