@@ -45,6 +45,8 @@ _NEG = ["no ", "not ", "without ", "free of ", "absence of ", "negative for ", "
 
 
 class KeywordCTLabeler:
+    source = "keyword-heuristic"  # provenance, surfaced in every summary
+
     def __call__(self, report: str) -> np.ndarray:
         text = report.lower()
         sents = re.split(r"[.;\n]", text)
@@ -85,6 +87,7 @@ class CTMetrics:
         fp = int(((y_pred == 1) & (y_true == 0)).sum())
         fn = int(((y_pred == 0) & (y_true == 1)).sum())
         return {
+            "ct_labeler": getattr(self.labeler, "source", "radbert-model"),
             "ct_macro_f1_18": float(np.mean(per)),
             "ct_micro_f1_18": 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0,
         }

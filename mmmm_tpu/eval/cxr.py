@@ -50,6 +50,8 @@ _NEGATIONS = [
 class KeywordChexpertLabeler:
     """Sentence-level keyword labeler with negation scoping (fallback only)."""
 
+    source = "keyword-heuristic"  # provenance, surfaced in every summary
+
     def __call__(self, report: str) -> np.ndarray:
         text = report.lower()
         sentences = re.split(r"[.;\n]", text)
@@ -81,7 +83,11 @@ class CXRMetrics:
     def compute(self, predictions: list[str], references: list[str]) -> dict[str, float]:
         y_pred = self.label_all(predictions)
         y_true = self.label_all(references)
-        out: dict[str, float] = {}
+        # provenance travels WITH the metrics: keyword-F1 must never be
+        # mistaken for CheXbert-F1 in a summary (VERDICT r3 weak #6)
+        out: dict[str, float] = {
+            "chexpert_labeler": getattr(self.labeler, "source", "chexbert-model")
+        }
 
         def f1(p, t):
             tp = int(((p == 1) & (t == 1)).sum())

@@ -296,6 +296,11 @@ def cmd_evaluate(args):
         Path(args.output).write_text(json.dumps(out, indent=2))
     if args.per_row_output and columns:
         with open(args.per_row_output, "w", newline="") as f:
+            # provenance comment line (read back with comment='#'): makes the
+            # labeler/annotator source conspicuous next to the metric columns
+            prov = {k: v for k, v in suite.items()
+                    if k.endswith(("_labeler", "_annotator", "_model_backed"))}
+            f.write("# provenance: " + json.dumps(prov) + "\n")
             writer = csv.DictWriter(f, fieldnames=["question", "answer", "prediction", *columns])
             writer.writeheader()
             for i, row in enumerate(rows):

@@ -60,3 +60,54 @@ def test_predict_and_evaluate(tmp_path):
     ])
     metrics = json.loads(out_json.read_text())
     assert "bleu1" in metrics and "chexpert_micro_f1_14" in metrics
+
+
+def test_provenance_flags_in_summary_and_csv(tmp_path):
+    """Heuristic eval fallbacks must be conspicuous in the OUTPUT (VERDICT r3
+    weak #6): the summary carries the labeler/annotator source next to every
+    affected metric, and the per-row CSV leads with a provenance comment."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_cli2", Path(__file__).parent.parent / "scripts/evaluate/cli.py"
+    )
+    eval_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eval_cli)
+
+    pred_csv = tmp_path / "pred.csv"
+    with pred_csv.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["question", "answer", "prediction"])
+        w.writeheader()
+        w.writerow({"question": "q", "answer": "small effusion seen",
+                    "prediction": "there is a pleural effusion"})
+        w.writerow({"question": "q", "answer": "clear lungs",
+                    "prediction": "no acute findings"})
+
+    out_json = tmp_path / "metrics.json"
+    per_row = tmp_path / "per_row.csv"
+    eval_cli.main([
+        "evaluate", "--input", str(pred_csv), "--suite", "all",
+        "--output", str(out_json), "--per-row-output", str(per_row),
+    ])
+    m = json.loads(out_json.read_text())
+    # every heuristic-backed metric family carries its source in the summary
+    assert m["chexpert_labeler"] == "keyword-heuristic"
+    assert m["chexbert_model_backed"] == 0.0
+    assert m["radgraph_annotator"] == "heuristic"
+    assert "chexpert_micro_f1_14" in m and "radgraph_f1" in m
+    # CT suite carries its own flag
+    eval_cli.main([
+        "evaluate", "--input", str(pred_csv), "--suite", "ct",
+        "--output", str(out_json),
+    ])
+    mct = json.loads(out_json.read_text())
+    assert mct["ct_labeler"] == "keyword-heuristic"
+    assert mct["radbert_model_backed"] == 0.0
+    # per-row CSV: first line is the provenance comment, then a parseable CSV
+    lines = per_row.read_text().splitlines()
+    assert lines[0].startswith("# provenance: ")
+    prov = json.loads(lines[0].removeprefix("# provenance: "))
+    assert prov["chexpert_labeler"] == "keyword-heuristic"
+    assert prov["radgraph_annotator"] == "heuristic"
+    rows = list(csv.DictReader(lines[1:]))
+    assert len(rows) == 2 and "radgraph" in rows[0]
