@@ -94,6 +94,23 @@ def iter_vqa_items(dataset_dir: Path, split: str = "train"):
             yield image, "Please write a radiology report for this image.", report
 
 
+# the reference's report-generation finetune prompt, verbatim
+# (/root/reference/scripts/finetune/_rg/_base.py:35)
+RG_PROMPT = "Please write a radiology report for me:"
+
+
+def iter_report_items(dataset_dir: Path, split: str = "train"):
+    """Yield (image_path, RG_PROMPT, report) per the reference ``_rg/_base.py``
+    contract: prompt CE-masked, the processed report supervised."""
+    from mmmm_tpu.data.defs import Split
+    from mmmm_tpu.data.vl import get_vl_data_list
+
+    for item in get_vl_data_list(Path(dataset_dir), Split(split)):
+        report = item.get("processed_report") or item.get("findings")
+        if report and item.get("image"):
+            yield item["image"][0], RG_PROMPT, report
+
+
 def finetune_torch_model(
     model,
     processor,
@@ -147,6 +164,7 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True, help="local HF model dir")
     ap.add_argument("--processor", help="local HF processor dir (default: checkpoint)")
     ap.add_argument("--dataset-dir", required=True)
+    ap.add_argument("--task", choices=["vqa", "report"], default="vqa")
     ap.add_argument("--split", default="train")
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps", type=int, default=1000)
@@ -174,8 +192,9 @@ def main(argv=None):
             args.processor or args.checkpoint, local_files_only=True
         )
 
+    iterate = iter_report_items if args.task == "report" else iter_vqa_items
     losses = finetune_torch_model(
-        model, processor, iter_vqa_items(Path(args.dataset_dir), args.split),
+        model, processor, iterate(Path(args.dataset_dir), args.split),
         EXAMPLE_BUILDERS[args.model], steps=args.steps, lr=args.lr,
         grad_accum=args.grad_accum, train_all=args.train_all,
     )

@@ -149,3 +149,35 @@ def test_iter_vqa_items_contract(tmp_path):
     got = list(iter_vqa_items(tmp_path))
     assert len(got) == 3
     assert got[2][2] == "All clear."
+
+
+def test_iter_report_items_contract(tmp_path):
+    """The _rg finetune contract (ref _rg/_base.py): reference prompt verbatim,
+    the processed report as the supervised answer, vqa-only items skipped."""
+    from baselines import RG_PROMPT, iter_report_items
+
+    items = [
+        {"key": "a", "image": ["img.png"],
+         "vqa": [{"question": "q1", "answer": "a1"}]},
+        {"key": "b", "image": ["img2.png"], "processed_report": "All clear."},
+        {"key": "c", "image": ["img3.png"], "findings": "Nodule in RUL."},
+    ]
+    (tmp_path / "train.json").write_text(json.dumps(items))
+    got = list(iter_report_items(tmp_path))
+    assert [(g[1], g[2]) for g in got] == [
+        (RG_PROMPT, "All clear."), (RG_PROMPT, "Nodule in RUL."),
+    ]
+    assert RG_PROMPT == "Please write a radiology report for me:"
+
+
+def test_finetune_report_task_smoke(tiny_instructblip):
+    """Report-gen finetune (the _rg path) trains through the same loop."""
+    from baselines import RG_PROMPT
+
+    model, proc = tiny_instructblip
+    examples = [(_image(), RG_PROMPT, "tok5 tok6 tok5")] * 4
+    losses = finetune_torch_model(
+        model, proc, examples, instructblip_example,
+        steps=16, lr=5e-3, grad_accum=2, log_every=4, train_all=False,
+    )
+    assert losses[-1] < losses[0], losses
