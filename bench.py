@@ -37,13 +37,23 @@ import numpy as np
 
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
-MAX_NEW_TOKENS = 128
-# B28 is the measured sweet spot after the round-3 prefill-transient fixes
-# (unrolled llm_prefill + chunked patch-embed im2col): 11.91 rep/s vs 10.85
-# at B24, both with the full-read decode kernel (2026-08-18 on-chip sweep).
-# B32 still runtime-OOMs on the bf16 KV cache. Override with
-# MMMM_BENCH_BATCH.
+MAX_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_NEWTOK", "128"))
+# B28 fused bf16 remains the measured single-chip sweet spot (r04 sweep:
+# 12.29 rep/s). Chunked prefill (MMMM_BENCH_PREFILL_CHUNK > 0) bounds the
+# prefill/SAM transients and lets B48–56 *run* — but only with int8 KV
+# (bf16 caches at B40+ still OOM on residents), and the q8 ragged decode
+# kernel's bandwidth utilization (0.28–0.34 vs bf16's 0.92, PROBE_LONGCTX_r04)
+# erases the batch-amortization win: B48-c8-int8 8.70, B56-c8-int8 9.56 rep/s.
+# Override with MMMM_BENCH_BATCH / MMMM_BENCH_PREFILL_CHUNK (0 = fused
+# single-program prefill).
 BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "28"))
+PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "0"))
+# Second bench row: long decode at the reference demo length (512 new tokens,
+# /root/reference/scripts/demo.py:46), where the KV stream quadruples.
+# MMMM_BENCH_LONG=0 skips it; batch/kv default to the headline row's.
+LONG_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_LONG", "512") or 0)
+LONG_BATCH = int(os.environ.get("MMMM_BENCH_LONG_BATCH", "0")) or None
+LONG_KV = os.environ.get("MMMM_BENCH_LONG_KV", "")
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
@@ -57,6 +67,10 @@ KV_DTYPE = os.environ.get("MMMM_BENCH_KV", "bf16")  # "bf16" | "int8"
 # (random weights either cycle — inflating it — or emit noise), so treat
 # spec numbers as a verify-step-cost probe, not a serving headline.
 SPEC = int(os.environ.get("MMMM_BENCH_SPEC", "0"))
+# Secondary spec gauge row (VERDICT r3 weak #5): a SPEC=7 run at the fused
+# batch, reporting rep/s + measured tokens-per-weight-pass next to an
+# 'unrepresentative acceptance' caveat. MMMM_BENCH_SPEC_ROW=0 skips it.
+SPEC_ROW = int(os.environ.get("MMMM_BENCH_SPEC_ROW", "7") or 0)
 
 
 def _bench_cfg():
@@ -129,16 +143,17 @@ def _matmul_flops(cfg, batch, s_prompt, n_new, n_vis):
     )
 
 
-def build_prefill(params, cfg):
+def build_prefill(params, cfg, batch):
     """Jitted prefill-only stage (ViT + LLM forward + first-token logits) for
     the prefill-MFU gauge (ROADMAP: prefill is the largest non-fundamental
-    serving cost; measure it in isolation)."""
+    serving cost; measure it in isolation). Runs at the prefill-chunk batch
+    when chunking is on — that is the program the serving path executes."""
     from mmmm_tpu.models.cogvlm.decoder import llm_forward
     from mmmm_tpu.models.cogvlm.model import splice_vision_embeds
     from mmmm_tpu.models.cogvlm.vit import vit_forward
     from mmmm_tpu.ops.quant import qdot
 
-    b, s = BATCH, PROMPT_LEN
+    b, s = batch, PROMPT_LEN
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32)
     tt = jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + N_VIS].set(1)
@@ -163,9 +178,8 @@ def build_prefill(params, cfg):
     return run
 
 
-def build():
+def build_params():
     from mmmm_tpu.models import MMMMModel
-    from mmmm_tpu.models.inference import generate_grounded
 
     cfg = _bench_cfg()
     model = MMMMModel(cfg)
@@ -204,8 +218,14 @@ def build():
         params["cogvlm"]["vision"] = pad_attention_heads(
             params["cogvlm"]["vision"], cfg.vlm.vision.num_heads
         )
+    return params, cfg, tokenizer
 
-    b, s = BATCH, PROMPT_LEN
+
+def build_run(params, cfg, tokenizer, batch, new_tokens, kv_dtype, chunk,
+              spec: int | None = None):
+    from mmmm_tpu.models.inference import generate_grounded
+
+    b, s = batch, PROMPT_LEN
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32)
     tt = jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + N_VIS].set(1)
@@ -216,15 +236,24 @@ def build():
     pos = jnp.broadcast_to(pos, (b, s))
     image = jnp.ones((b, 3, 32, 384, 384), jnp.bfloat16)
     # SegVol encoder is 3-channel (1-channel pretrain inflated, ref
-    # image_encoder.py:88-94); grounding images replicate the CT channel
-    grounding_image = jnp.ones((b, 3, 32, 256, 256), jnp.float32)
+    # image_encoder.py:88-94); grounding images replicate the CT channel.
+    # Held uint8 — the PROCESSED ON-DISK FORMAT (images.pt.zst is uint8,
+    # preprocess/_base quantization): at B48 a full-batch fp32 copy is 4.8 GB
+    # of HBM for an input the SAM stage casts to fp32 in-graph anyway
+    # (_grounding_stage); the fp32-policy compute is unchanged, only the
+    # resident storage narrows 4x. MMMM_BENCH_GIMG overrides the dtype.
+    grounding_image = jnp.ones(
+        (b, 3, 32, 256, 256),
+        dict(uint8=jnp.uint8, bf16=jnp.bfloat16, fp32=jnp.float32)[
+            os.environ.get("MMMM_BENCH_GIMG", "uint8")],
+    )
     prompt_len = jnp.full((b,), s, jnp.int32)
 
     def run():
         res = generate_grounded(
             params, cfg, tokenizer, ids, tt, pos, prompt_len,
             image, (16, 16, 16), (2, 2, 2),
-            max_new_tokens=MAX_NEW_TOKENS, max_targets=4,
+            max_new_tokens=new_tokens, max_targets=4,
             grounding_image=grounding_image, fetch_grounding=False,
             # random weights never emit </p>; force the SAM pass so every
             # report is actually grounded (the metric's definition)
@@ -234,8 +263,11 @@ def build():
             vis_span=(1, 1 + N_VIS),
             # int8 KV cache: decode is HBM-bound; per-slot-quantized caches
             # halve the dominant read stream (ops/quant.quantize_kv)
-            kv_cache_dtype=KV_DTYPE,
-            spec_draft_len=SPEC,
+            kv_cache_dtype=kv_dtype,
+            spec_draft_len=SPEC if spec is None else spec,
+            # prefill in batch sub-chunks: prefill/SAM transients set the
+            # single-chip batch ceiling, not cache bytes (ROADMAP round 3)
+            prefill_chunk=chunk,
         )
         # fence the mask computation with an on-device scalar reduction: the
         # axon relay fetches at ~10 MB/s, so pulling the full (B, N, D, H, W)
@@ -243,8 +275,8 @@ def build():
         np.asarray(jnp.sum(res.masks.astype(jnp.float32)))
         return res
 
-    flops = sum(_matmul_flops(cfg, b, s, MAX_NEW_TOKENS, N_VIS))
-    return run, flops, params, cfg
+    flops = sum(_matmul_flops(cfg, b, s, new_tokens, N_VIS))
+    return run, flops
 
 
 def bench_input_pipeline(n_volumes: int = 16) -> float:
@@ -333,7 +365,10 @@ def _wait_for_backend(max_wait_s: float) -> None:
 
 def main():
     _wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
-    run, flops, params, cfg = build()
+    params, cfg, tokenizer = build_params()
+    run, flops = build_run(
+        params, cfg, tokenizer, BATCH, MAX_NEW_TOKENS, KV_DTYPE, PREFILL_CHUNK
+    )
     # compile + warmup; NOTE: on the axon relay backend block_until_ready does
     # not actually block — generate_grounded ends in host fetches of the token
     # and mask outputs, which fence execution.
@@ -346,9 +381,63 @@ def main():
     reports_per_sec = BATCH / dt
     mfu = flops / dt / V5E_PEAK_BF16
 
-    # prefill-only gauge (separate jit of the identical prefill computation)
-    prefill_flops, _ = _matmul_flops(cfg, BATCH, PROMPT_LEN, MAX_NEW_TOKENS, N_VIS)
-    prefill_run = build_prefill(params, cfg)
+    # long-decode row (the reference demo generates up to 512 new tokens):
+    # same weights, one timed iteration; failures (e.g. cache OOM at the
+    # headline batch) are reported, not fatal
+    long_row = None
+    if LONG_NEW_TOKENS:
+        lb = LONG_BATCH or BATCH
+        lkv = LONG_KV or KV_DTYPE
+        try:
+            lrun, lflops = build_run(
+                params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, PREFILL_CHUNK
+            )
+            lrun()  # compile
+            t0 = time.time()
+            lrun()
+            ldt = time.time() - t0
+            long_row = {
+                "value": round(lb / ldt, 3), "unit": "reports/sec/chip",
+                "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
+                "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
+            }
+        except Exception as e:  # noqa: BLE001 — report the failure inline
+            long_row = {"error": f"{type(e).__name__}: {str(e)[:200]}",
+                        "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv}
+
+    # speculative-decoding gauge: SPEC=7 at the fused batch ceiling (the spec
+    # path doesn't chunk prefill), reporting measured tokens-per-weight-pass.
+    # Caveat travels with the row: random-weight acceptance is
+    # unrepresentative of real reports (cycles inflate it, noise deflates it)
+    # — tests/test_speculative.py pins the structured-text value instead.
+    spec_row = None
+    if SPEC_ROW and SPEC == 0:
+        sb = min(BATCH, 28)
+        try:
+            srun, _ = build_run(
+                params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE, 0,
+                spec=SPEC_ROW,
+            )
+            sres = srun()  # compile
+            t0 = time.time()
+            sres = srun()
+            sdt = time.time() - t0
+            st = jax.device_get(sres.spec_stats) if sres.spec_stats else {}
+            spec_row = {
+                "value": round(sb / sdt, 3), "unit": "reports/sec/chip",
+                "batch": sb, "draft_len": SPEC_ROW,
+                "tokens_per_step": round(float(st.get("tokens_per_step", 0)), 3),
+                "verify_steps": int(st.get("iters", 0)),
+                "acceptance_caveat": "random-weight stream; see tests/test_speculative.py",
+            }
+        except Exception as e:  # noqa: BLE001
+            spec_row = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    # prefill-only gauge (separate jit of the identical prefill computation,
+    # at the chunk batch when chunked prefill is on)
+    pf_batch = PREFILL_CHUNK if 0 < PREFILL_CHUNK < BATCH else BATCH
+    prefill_flops, _ = _matmul_flops(cfg, pf_batch, PROMPT_LEN, MAX_NEW_TOKENS, N_VIS)
+    prefill_run = build_prefill(params, cfg, pf_batch)
     prefill_run()  # compile
     t0 = time.time()
     for _ in range(n_iters):
@@ -385,6 +474,9 @@ def main():
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,
                 "new_tokens": MAX_NEW_TOKENS,
+                "prefill_chunk": PREFILL_CHUNK,
+                "long_decode": long_row,
+                "spec": spec_row,
                 "kv_cache": KV_DTYPE,
                 "quantized": os.environ.get("MMMM_BENCH_QUANT", "1") != "0",
                 "weight_bits": 4 if os.environ.get("MMMM_BENCH_QUANT") == "4"

@@ -97,32 +97,33 @@ def prefill_decode_state(
     return state, hidden, last_hidden
 
 
-def greedy_generate(
+def greedy_decode_from_state(
     params: dict,
     cfg: CogVLMConfig,
-    input_ids: jnp.ndarray,  # (B, S_prompt) right-padded prompt
-    token_type_ids: jnp.ndarray,  # (B, S_prompt)
-    position_ids: jnp.ndarray,  # (B, S_prompt)
-    prompt_len: jnp.ndarray,  # (B,) true prompt lengths
+    state: dict,
+    hidden: jnp.ndarray,  # (B, S_prompt, C) prefill hidden states
+    last_hidden: jnp.ndarray,  # (B, C)
     *,
     max_new_tokens: int,
     eos_token_id: int,
     bop_token_id: int,
     eop_token_id: int,
-    image: jnp.ndarray | None = None,
-    patch_size=None,
-    pool_size=None,
     attn_impl: str = "auto",
-    vis_span: tuple[int, int] | None = None,
-    kv_cache_dtype: str = "bf16",
-) -> GenerateResult:
-    b, s_prompt = input_ids.shape
-    state, hidden, last_hidden = prefill_decode_state(
-        params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
-        smax=s_prompt + max_new_tokens, eos_token_id=eos_token_id,
-        image=image, patch_size=patch_size, pool_size=pool_size,
-        attn_impl=attn_impl, vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
-    )
+    return_final_state: bool = False,
+):
+    """The greedy decode scan over a prefilled state (see
+    ``prefill_decode_state``). Split out so callers can jit prefill and decode
+    separately — chunked prefill (``models/serving.py`` slot refill, the
+    bench's large-batch path) prefills in sub-batches whose transients fit
+    HBM, concatenates the states, and decodes at the full batch.
+
+    ``return_final_state=True`` additionally returns the post-scan state.
+    Callers that jit this function with donated input state MUST return the
+    final caches as outputs — XLA only honors input donation when the buffer
+    can alias an output, so a decode program that drops the caches keeps TWO
+    copies of them alive (measured: the r04 B48/B56 bench OOMs came exactly
+    from this)."""
+    b = state["tok"].shape[0]
 
     def step(state, _):
         tok, prev = state["tok"], state["prev_tok"]
@@ -157,4 +158,41 @@ def greedy_generate(
     was_done = outs["done"].T  # done *before* each step
     tokens = jnp.where(was_done, eos_token_id, tokens)
     num_generated = (~was_done).sum(axis=1)
-    return GenerateResult(tokens, gen_hidden, hidden, num_generated)
+    res = GenerateResult(tokens, gen_hidden, hidden, num_generated)
+    if return_final_state:
+        return res, state
+    return res
+
+
+def greedy_generate(
+    params: dict,
+    cfg: CogVLMConfig,
+    input_ids: jnp.ndarray,  # (B, S_prompt) right-padded prompt
+    token_type_ids: jnp.ndarray,  # (B, S_prompt)
+    position_ids: jnp.ndarray,  # (B, S_prompt)
+    prompt_len: jnp.ndarray,  # (B,) true prompt lengths
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    bop_token_id: int,
+    eop_token_id: int,
+    image: jnp.ndarray | None = None,
+    patch_size=None,
+    pool_size=None,
+    attn_impl: str = "auto",
+    vis_span: tuple[int, int] | None = None,
+    kv_cache_dtype: str = "bf16",
+) -> GenerateResult:
+    b, s_prompt = input_ids.shape
+    state, hidden, last_hidden = prefill_decode_state(
+        params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
+        smax=s_prompt + max_new_tokens, eos_token_id=eos_token_id,
+        image=image, patch_size=patch_size, pool_size=pool_size,
+        attn_impl=attn_impl, vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
+    )
+    return greedy_decode_from_state(
+        params, cfg, state, hidden, last_hidden,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        bop_token_id=bop_token_id, eop_token_id=eop_token_id,
+        attn_impl=attn_impl,
+    )

@@ -40,6 +40,7 @@ def _generate_stage(
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
     spec_draft_len: int = 0,
+    prefill_chunk: int = 0,
 ):
     """Jitted first stage: the full prefill + decode scan.
 
@@ -49,36 +50,135 @@ def _generate_stage(
     (config, generation-params) bucket.
 
     ``spec_draft_len > 0`` routes the decode loop through n-gram speculative
-    verification (``models/speculate.py``) — token-identical to greedy."""
+    verification (``models/speculate.py``) — token-identical to greedy.
+
+    ``prefill_chunk > 0`` splits prefill into batch sub-chunks: the ViT /
+    patch-embed / prefill-activation transients — the single-chip batch
+    ceiling (B32 OOMs on them at bf16 KV while the caches themselves fit,
+    ROADMAP round 3) — are bounded by the chunk size, the per-layer KV caches
+    are written into full-batch buffers, and the decode scan (whose only
+    per-slot cost is cache rows) runs at the full batch. Token-identical to
+    the fused path: prefill is batch-parallel, so chunking the batch changes
+    nothing numerically."""
 
     def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
+        stats = None
         if spec_draft_len > 0:
             from .speculate import ngram_speculative_generate
 
-            gen_fn = functools.partial(
-                ngram_speculative_generate, draft_len=spec_draft_len
+            res, stats = ngram_speculative_generate(
+                params["cogvlm"], cfg.vlm, input_ids, token_type_ids,
+                position_ids, prompt_len, max_new_tokens=max_new_tokens,
+                eos_token_id=eos_token_id, bop_token_id=bop_token_id,
+                eop_token_id=eop_token_id, image=image if has_image else None,
+                patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
+                vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
+                draft_len=spec_draft_len, return_stats=True,
             )
         else:
-            gen_fn = greedy_generate
-        res = gen_fn(
-            params["cogvlm"], cfg.vlm, input_ids, token_type_ids, position_ids,
-            prompt_len, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-            bop_token_id=bop_token_id, eop_token_id=eop_token_id,
-            image=image if has_image else None,
-            patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
-            vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
-        )
+            res = greedy_generate(
+                params["cogvlm"], cfg.vlm, input_ids, token_type_ids, position_ids,
+                prompt_len, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+                bop_token_id=bop_token_id, eop_token_id=eop_token_id,
+                image=image if has_image else None,
+                patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
+                vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
+            )
         # plain tuple: GenerateResult is not a registered pytree
-        return res.tokens, res.hidden, res.prefill_hidden, res.num_generated
+        return (res.tokens, res.hidden, res.prefill_hidden, res.num_generated,
+                stats)
+
+    if prefill_chunk > 0 and spec_draft_len == 0:
+        return _chunked_generate_stage(
+            cfg, max_new_tokens, eos_token_id, bop_token_id, eop_token_id,
+            patch_size, pool_size, attn_impl, has_image, vis_span,
+            kv_cache_dtype, prefill_chunk,
+        )
 
     jitted = jax.jit(stage)
 
     def run(params, input_ids, token_type_ids, position_ids, prompt_len, image):
         from .generate import GenerateResult
 
-        return GenerateResult(*jitted(
+        out = jitted(
             params, input_ids, token_type_ids, position_ids, prompt_len, image
-        ))
+        )
+        return GenerateResult(*out[:4]), out[4]
+
+    return run
+
+
+def _chunked_generate_stage(
+    cfg: MMMMConfig,
+    max_new_tokens: int,
+    eos_token_id: int,
+    bop_token_id: int,
+    eop_token_id: int,
+    patch_size,
+    pool_size,
+    attn_impl: str,
+    has_image: bool,
+    vis_span,
+    kv_cache_dtype: str,
+    chunk: int,
+):
+    """Chunked-prefill generate: see ``_generate_stage(prefill_chunk=...)``.
+
+    Three compiled programs: (a) prefill at the chunk batch, (b) a donated
+    in-place batch-slice insert into the full-batch state, (c) the decode
+    scan at the full batch (state donated, so the scan's cache updates alias
+    the input buffers instead of doubling cache HBM)."""
+    from .generate import GenerateResult, greedy_decode_from_state, prefill_decode_state
+
+    def prefill(params, ids, tt, pos, plen, image):
+        state, hidden, last = prefill_decode_state(
+            params["cogvlm"], cfg.vlm, ids, tt, pos, plen,
+            smax=ids.shape[1] + max_new_tokens, eos_token_id=eos_token_id,
+            image=image if has_image else None, patch_size=patch_size,
+            pool_size=pool_size, attn_impl=attn_impl, vis_span=vis_span,
+            kv_cache_dtype=kv_cache_dtype,
+        )
+        return state, hidden, last
+
+    prefill_jit = jax.jit(prefill)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def insert(full, part, off):
+        return jax.tree.map(
+            lambda f, p: jax.lax.dynamic_update_slice_in_dim(f, p, off, axis=0),
+            full, part,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def decode(params, state, hidden, last_hidden):
+        res, fstate = greedy_decode_from_state(
+            params["cogvlm"], cfg.vlm, state, hidden, last_hidden,
+            max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+            bop_token_id=bop_token_id, eop_token_id=eop_token_id,
+            attn_impl=attn_impl, return_final_state=True,
+        )
+        # the final caches MUST be outputs: donated inputs only alias when an
+        # output matches, otherwise the scan keeps a second full cache copy
+        # (the r04 B48/B56 OOM). run() drops them immediately.
+        return (res.tokens, res.hidden, res.prefill_hidden, res.num_generated,
+                fstate["caches"])
+
+    def run(params, input_ids, token_type_ids, position_ids, prompt_len, image):
+        b = input_ids.shape[0]
+        full = None
+        for off in range(0, b, chunk):
+            sl = slice(off, min(off + chunk, b))
+            part = prefill_jit(
+                params, input_ids[sl], token_type_ids[sl], position_ids[sl],
+                prompt_len[sl], image[sl] if has_image else image,
+            )
+            if full is None:
+                full = jax.tree.map(
+                    lambda x: jnp.zeros((b,) + x.shape[1:], x.dtype), part
+                )
+            full = insert(full, part, off)
+        out = decode(params, *full)
+        return GenerateResult(*out[:4]), None
 
     return run
 
@@ -120,6 +220,9 @@ class GroundedResult:
     boxes: np.ndarray | None = None  # (B, N, K, 6) CenterSize in [0, 1]
     disc_logit: np.ndarray | None = None  # (B, N, K)
     target_valid: np.ndarray | None = None  # (B, N)
+    # speculative-decoding gauge (spec_draft_len > 0 only): {"iters": verify
+    # steps run, "tokens_per_step": mean committed tokens per weight pass}
+    spec_stats: dict | None = None
 
 
 def generate_grounded(
@@ -144,6 +247,7 @@ def generate_grounded(
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
     spec_draft_len: int = 0,
+    prefill_chunk: int = 0,
 ) -> GroundedResult:
     gen = _generate_stage(
         cfg, max_new_tokens, tokenizer.eos_token_id, tokenizer.bop_token_id,
@@ -152,9 +256,11 @@ def generate_grounded(
         tuple(pool_size) if pool_size is not None else None,
         attn_impl, image is not None,
         tuple(vis_span) if vis_span is not None else None,
-        kv_cache_dtype, spec_draft_len,
+        kv_cache_dtype, spec_draft_len, prefill_chunk,
     )
-    res = gen(params, input_ids, token_type_ids, position_ids, prompt_len, image)
+    res, spec_stats = gen(
+        params, input_ids, token_type_ids, position_ids, prompt_len, image
+    )
     tokens = np.asarray(res.tokens)
     texts = [
         tokenizer.decode([int(t) for t in row if int(t) != tokenizer.eos_token_id])
@@ -162,7 +268,9 @@ def generate_grounded(
     ]
     targets = tokenizer.parse_targets(tokens)
 
-    out = GroundedResult(text=texts, tokens=tokens, targets=targets)
+    out = GroundedResult(
+        text=texts, tokens=tokens, targets=targets, spec_stats=spec_stats
+    )
     if grounding_image is None:
         return out
 
@@ -188,10 +296,18 @@ def generate_grounded(
     # reduction instead of shipping (B, N, D, H, W) fp32 masks to host
     fetch = np.asarray if fetch_grounding else (lambda x: x)
     stage = _grounding_stage(cfg, tuple(patch_size), instance, attn_impl)
+    # chunk the SAM pass with the prefill: its encoder transients scale with
+    # batch the same way the ViT's do
+    gchunk = prefill_chunk if prefill_chunk > 0 else b
+    pos_dev = jnp.asarray(positions)
+    chunks = [
+        stage(params, res.hidden[off : off + gchunk],
+              pos_dev[off : off + gchunk], grounding_image[off : off + gchunk])
+        for off in range(0, b, gchunk)
+    ]
     if instance:
-        boxes, disc = stage(params, res.hidden, jnp.asarray(positions), grounding_image)
-        out.boxes = fetch(boxes)
-        out.disc_logit = fetch(disc)
+        out.boxes = fetch(jnp.concatenate([c[0] for c in chunks], axis=0))
+        out.disc_logit = fetch(jnp.concatenate([c[1] for c in chunks], axis=0))
     else:
-        out.masks = fetch(stage(params, res.hidden, jnp.asarray(positions), grounding_image))
+        out.masks = fetch(jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0])
     return out

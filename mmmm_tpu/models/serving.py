@@ -975,7 +975,13 @@ class GroundedServer:
                 if gi is not None:
                     if g_imgs is None:
                         g_shape = gi.shape
-                        g_imgs = np.zeros((fpad, *g_shape), np.float32)
+                        # preserve the caller's dtype: uint8 (the processed
+                        # on-disk format) ships 4x fewer bytes through the
+                        # relay/PCIe; the SAM stage casts to fp32 in-graph
+                        g_imgs = np.zeros((fpad, *g_shape), np.asarray(gi).dtype)
+                    assert np.asarray(gi).dtype == g_imgs.dtype, (
+                        "mixed grounding_image dtypes in one serving job"
+                    )
                     g_imgs[row] = gi
             if g_imgs is None:
                 return

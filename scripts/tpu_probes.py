@@ -202,8 +202,9 @@ def probe_longctx(out):
     from mmmm_tpu.ops.quant import quantize_kv
 
     b, h, d = 16, 32, 128
+    hbm_gbps = 819.0  # v5e HBM bandwidth
     rng = np.random.default_rng(1)
-    for smax in (512, 2048, 8192):
+    for smax in (512, 1024, 2048, 4096, 8192):
         bs = _ragged_block(smax)
         q = jnp.asarray(rng.normal(0, 1, (b, 1, h, d)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(0, 1, (b, h, smax, d)), jnp.bfloat16)
@@ -221,9 +222,15 @@ def probe_longctx(out):
             lambda qq, *o: decode_attention_pallas_q8_ragged(qq, *o, block_s=bs),
             q, kq, ks, vq, vs, kv_len,
         )
+        # bandwidth utilization: the step's compulsory read is the K+V stream
+        # (q/out are negligible); the ragged kernel's ceiling is HBM
+        bytes_bf16 = 2 * b * h * smax * d * 2
+        bytes_q8 = 2 * b * h * smax * (d + 2)  # int8 payload + bf16 scale
         rec = {
             "probe": "longctx_decode", "B": b, "S": smax,
             "ms_bf16": round(t_bf16 * 1e3, 3), "ms_q8": round(t_q8 * 1e3, 3),
+            "bw_util_bf16": round(bytes_bf16 / t_bf16 / 1e9 / hbm_gbps, 3),
+            "bw_util_q8": round(bytes_q8 / t_q8 / 1e9 / hbm_gbps, 3),
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)

@@ -233,3 +233,75 @@ def test_text_server_with_w8a16_params():
     static = make_text_generator(qparams, cfg, tok, **kw)(prompts)
     cont = make_text_generator(qparams, cfg, tok, continuous=True, **kw)(prompts)
     assert cont == static
+
+
+def test_chunked_prefill_matches_fused():
+    """prefill_chunk > 0 (the large-batch serving path: prefill in batch
+    sub-chunks, decode at full batch) is token- and mask-identical to the
+    fused single-program path — prefill is batch-parallel, so chunking must
+    change nothing numerically. Covers an uneven tail chunk (b=5, chunk=2)."""
+    import numpy as _np
+
+    from mmmm_tpu.models.inference import generate_grounded
+    from mmmm_tpu.models.serving import GroundedServer  # noqa: F401 (import parity)
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    patch, pool = (4, 4, 4), (1, 1, 1)
+    reqs = _grounded_reqs(5)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    pad = lambda k: _np.stack([
+        _np.pad(r[k], (0, smax - len(r[k]))) for r in reqs
+    ])
+    args = (
+        params, cfg, tok,
+        jnp.asarray(pad("input_ids")), jnp.asarray(pad("token_type_ids")),
+        jnp.asarray(pad("position_ids")),
+        jnp.asarray([len(r["input_ids"]) for r in reqs]),
+        jnp.asarray(_np.stack([r["image"] for r in reqs])), patch, pool,
+    )
+    kw = dict(
+        max_new_tokens=6, max_targets=2,
+        grounding_image=jnp.asarray(_np.stack([r["grounding_image"] for r in reqs])),
+        force_grounding=True, vis_span=(1, 1 + N_VIS), attn_impl="xla",
+    )
+    ref = generate_grounded(*args, **kw)
+    for chunk in (2, 5):
+        got = generate_grounded(*args, **kw, prefill_chunk=chunk)
+        _np.testing.assert_array_equal(got.tokens, ref.tokens)
+        assert got.text == ref.text
+        _np.testing.assert_allclose(
+            _np.asarray(got.masks), _np.asarray(ref.masks), atol=2e-4
+        )
+
+
+def test_chunked_prefill_int8_kv_matches_fused():
+    """Chunked prefill composes with the int8 KV cache (the capacity option
+    that enables the largest decode batches): identical tokens vs the fused
+    int8 path."""
+    import numpy as _np
+
+    from mmmm_tpu.models.inference import generate_grounded
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    patch, pool = (4, 4, 4), (1, 1, 1)
+    reqs = _grounded_reqs(4)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    pad = lambda k: _np.stack([
+        _np.pad(r[k], (0, smax - len(r[k]))) for r in reqs
+    ])
+    args = (
+        params, cfg, tok,
+        jnp.asarray(pad("input_ids")), jnp.asarray(pad("token_type_ids")),
+        jnp.asarray(pad("position_ids")),
+        jnp.asarray([len(r["input_ids"]) for r in reqs]),
+        jnp.asarray(_np.stack([r["image"] for r in reqs])), patch, pool,
+    )
+    kw = dict(max_new_tokens=5, vis_span=(1, 1 + N_VIS), attn_impl="xla",
+              kv_cache_dtype="int8")
+    ref = generate_grounded(*args, **kw)
+    got = generate_grounded(*args, **kw, prefill_chunk=2)
+    _np.testing.assert_array_equal(got.tokens, ref.tokens)
