@@ -124,75 +124,90 @@ def _chunked_generate_stage(
 ):
     """Chunked-prefill generate: see ``_generate_stage(prefill_chunk=...)``.
 
-    Three compiled programs: (a) prefill at the chunk batch, (b) a donated
-    in-place batch-slice insert into the full-batch state, (c) the decode
-    scan at the full batch (state donated, so the scan's cache updates alias
-    the input buffers instead of doubling cache HBM)."""
+    ONE compiled program: ``lax.map`` sequences prefill over batch sub-chunks
+    (one chunk's ViT/patch-embed transients live at a time; the stacked map
+    outputs ARE the full-batch caches), then the decode scan runs at the full
+    batch in the same program — so there is no per-chunk relay dispatch tax
+    (~32 ms each, PROBE_LONGCTX_r04) and no cross-program donation hazard
+    (in-program, XLA's copy-insertion aliases the map outputs into the scan
+    carry). An earlier three-program version (separate prefill/insert/decode
+    jits with explicit donation) measured 0.2–0.7 s/batch of pure dispatch
+    overhead at B40–56; this supersedes it."""
     from .generate import GenerateResult, greedy_decode_from_state, prefill_decode_state
 
-    def prefill(params, ids, tt, pos, plen, image):
-        state, hidden, last = prefill_decode_state(
-            params["cogvlm"], cfg.vlm, ids, tt, pos, plen,
-            smax=ids.shape[1] + max_new_tokens, eos_token_id=eos_token_id,
-            image=image if has_image else None, patch_size=patch_size,
-            pool_size=pool_size, attn_impl=attn_impl, vis_span=vis_span,
-            kv_cache_dtype=kv_cache_dtype,
-        )
-        return state, hidden, last
+    def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
+        b, s = input_ids.shape
+        bp = -(-b // chunk) * chunk  # pad to a whole number of chunks
+        nchunk = bp // chunk
 
-    prefill_jit = jax.jit(prefill)
+        def padb(x, fill=0):
+            if bp == b:
+                return x
+            return jnp.pad(
+                x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1), constant_values=fill
+            )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def insert(full, part, off):
-        return jax.tree.map(
-            lambda f, p: jax.lax.dynamic_update_slice_in_dim(f, p, off, axis=0),
-            full, part,
-        )
+        resh = lambda x: x.reshape((nchunk, chunk) + x.shape[1:])
+        xs = [
+            resh(padb(input_ids)), resh(padb(token_type_ids)),
+            resh(padb(position_ids)),
+            # pad rows get prompt_len=1 (any valid length; their outputs are
+            # sliced off below)
+            resh(padb(prompt_len, fill=1)),
+        ]
+        if has_image:
+            xs.append(resh(padb(image)))
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
-    def decode(params, state, hidden, last_hidden):
-        res, fstate = greedy_decode_from_state(
-            params["cogvlm"], cfg.vlm, state, hidden, last_hidden,
+        def body(args):
+            img_c = args[4] if has_image else None
+            return prefill_decode_state(
+                params["cogvlm"], cfg.vlm, args[0], args[1], args[2], args[3],
+                smax=s + max_new_tokens, eos_token_id=eos_token_id,
+                image=img_c, patch_size=patch_size, pool_size=pool_size,
+                attn_impl=attn_impl, vis_span=vis_span,
+                kv_cache_dtype=kv_cache_dtype,
+            )
+
+        state, hidden, last_hidden = jax.lax.map(body, tuple(xs))
+        unchunk = lambda x: x.reshape((bp,) + x.shape[2:])
+        state = jax.tree.map(unchunk, state)
+        res = greedy_decode_from_state(
+            params["cogvlm"], cfg.vlm, state, unchunk(hidden), unchunk(last_hidden),
             max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
             bop_token_id=bop_token_id, eop_token_id=eop_token_id,
-            attn_impl=attn_impl, return_final_state=True,
+            attn_impl=attn_impl,
         )
-        # the final caches MUST be outputs: donated inputs only alias when an
-        # output matches, otherwise the scan keeps a second full cache copy
-        # (the r04 B48/B56 OOM). run() drops them immediately.
-        return (res.tokens, res.hidden, res.prefill_hidden, res.num_generated,
-                fstate["caches"])
+        return (res.tokens[:b], res.hidden[:b], res.prefill_hidden[:b],
+                res.num_generated[:b])
+
+    jitted = jax.jit(stage)
 
     def run(params, input_ids, token_type_ids, position_ids, prompt_len, image):
-        b = input_ids.shape[0]
-        full = None
-        for off in range(0, b, chunk):
-            sl = slice(off, min(off + chunk, b))
-            part = prefill_jit(
-                params, input_ids[sl], token_type_ids[sl], position_ids[sl],
-                prompt_len[sl], image[sl] if has_image else image,
-            )
-            if full is None:
-                full = jax.tree.map(
-                    lambda x: jnp.zeros((b,) + x.shape[1:], x.dtype), part
-                )
-            full = insert(full, part, off)
-        out = decode(params, *full)
-        return GenerateResult(*out[:4]), None
+        out = jitted(
+            params, input_ids, token_type_ids, position_ids, prompt_len, image
+        )
+        return GenerateResult(*out), None
 
     return run
 
 
 @functools.lru_cache(maxsize=8)
-def _grounding_stage(cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str):
+def _grounding_stage(
+    cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str, chunk: int = 0
+):
     """Jitted second stage: hidden-state gather -> vg_proj -> SAM head.
 
     Without this the grounding pass runs eagerly op-by-op — harmless on a
     local chip, catastrophic through the axon relay (~45 ms per dispatch).
     Compiles once per (config, patch, mode) bucket; shapes are already
-    static (padded max_targets)."""
+    static (padded max_targets).
 
-    def stage(params, hidden, positions, g_image):
+    ``chunk > 0`` sequences the SAM pass over batch sub-chunks with
+    ``lax.map`` INSIDE the one program (the encoder's fp32 transients scale
+    with batch like the ViT's; chunking bounds them without per-chunk
+    dispatches)."""
+
+    def one(params, hidden, positions, g_image):
         gathered = jnp.take_along_axis(
             hidden.astype(jnp.float32), positions[..., None], axis=1
         )
@@ -207,6 +222,24 @@ def _grounding_stage(cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str
             params["sam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
         )
         return masks
+
+    def stage(params, hidden, positions, g_image):
+        b = hidden.shape[0]
+        if chunk <= 0 or chunk >= b:
+            return one(params, hidden, positions, g_image)
+        bp = -(-b // chunk) * chunk
+
+        def padb(x):
+            if bp == b:
+                return x
+            return jnp.pad(x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1))
+
+        resh = lambda x: padb(x).reshape((bp // chunk, chunk) + x.shape[1:])
+        out = jax.lax.map(
+            lambda args: one(params, *args),
+            (resh(hidden), resh(positions), resh(g_image)),
+        )
+        return jax.tree.map(lambda x: x.reshape((bp,) + x.shape[2:])[:b], out)
 
     return jax.jit(stage)
 
@@ -295,19 +328,15 @@ def generate_grounded(
     # slow host link (the axon relay moves ~10 MB/s) fence with an on-device
     # reduction instead of shipping (B, N, D, H, W) fp32 masks to host
     fetch = np.asarray if fetch_grounding else (lambda x: x)
-    stage = _grounding_stage(cfg, tuple(patch_size), instance, attn_impl)
     # chunk the SAM pass with the prefill: its encoder transients scale with
-    # batch the same way the ViT's do
-    gchunk = prefill_chunk if prefill_chunk > 0 else b
-    pos_dev = jnp.asarray(positions)
-    chunks = [
-        stage(params, res.hidden[off : off + gchunk],
-              pos_dev[off : off + gchunk], grounding_image[off : off + gchunk])
-        for off in range(0, b, gchunk)
-    ]
+    # batch the same way the ViT's do (in-program lax.map — no dispatch tax)
+    stage = _grounding_stage(
+        cfg, tuple(patch_size), instance, attn_impl, prefill_chunk
+    )
+    o = stage(params, res.hidden, jnp.asarray(positions), grounding_image)
     if instance:
-        out.boxes = fetch(jnp.concatenate([c[0] for c in chunks], axis=0))
-        out.disc_logit = fetch(jnp.concatenate([c[1] for c in chunks], axis=0))
+        out.boxes = fetch(o[0])
+        out.disc_logit = fetch(o[1])
     else:
-        out.masks = fetch(jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0])
+        out.masks = fetch(o)
     return out

@@ -307,16 +307,24 @@ def decode_attention_pallas_q8_mxu(
 
 def _decode_kernel_q8_ragged(
     klen_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, scale: float, block_s: int, nblk: int,
+    *, scale: float, block_s: int, nblk: int, cast: str = "f32",
 ):
     """Ragged (length-aware-read) int8-KV decode: the S-block/online-softmax
     structure of ``_decode_kernel_ragged`` x the head-chunked int8 dequant of
     ``_decode_kernel_q8``. Grid (B, H/chunk, nblk); KV blocks past ``kv_len``
     remap to the last valid block (copy elided), so the dominant long-context
-    read stream scales with the true sequence length."""
+    read stream scales with the true sequence length.
+
+    ``cast="bf16"``: dequant the (bs, D) int8 streams to bf16 instead of f32
+    — half the retile/multiply register work (bf16 packs 2/lane; the int8
+    (32,128)-tile unpack targets (16,128) instead of (8,128)) at the cost of
+    bf16 products feeding the f32 reductions. The quantization error floor
+    (int8 = 2^-7 relative) dwarfs bf16 rounding, so accuracy is unchanged in
+    practice; the probe gate (scripts/tpu_probes.py longctx) measures both."""
     i, j = pl.program_id(0), pl.program_id(2)
     _, chunk, _, _ = kq_ref.shape
     klen = klen_ref[i]
+    cdt = jnp.bfloat16 if cast == "bf16" else jnp.float32
 
     @pl.when(j == 0)
     def _init():
@@ -331,20 +339,23 @@ def _decode_kernel_q8_ragged(
         slot = kstart + lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
         valid = slot < klen
         for h in range(chunk):
-            q = q_ref[0, h, 0].astype(jnp.float32)  # (D,)
-            kq = kq_ref[0, h].astype(jnp.float32)  # (bs, D)
+            q = q_ref[0, h, 0].astype(cdt)  # (D,)
+            kq = kq_ref[0, h].astype(cdt)  # (bs, D)
             ks = ks_ref[0, h].astype(jnp.float32)  # (bs, 1)
-            s = jnp.sum(kq * q[None, :], axis=-1, keepdims=True) * ks * scale
+            # products in ``cast`` precision, reduction accumulated in f32
+            s = jnp.sum(
+                (kq * q[None, :]).astype(jnp.float32), axis=-1, keepdims=True
+            ) * ks * scale
             s = jnp.where(valid, s, NEG_INF)
             m_prev = m_ref[h]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new[None, :])
             p = jnp.where(valid, p, 0.0)
-            w = p * vs_ref[0, h].astype(jnp.float32)  # (bs, 1)
+            w = (p * vs_ref[0, h].astype(jnp.float32)).astype(cdt)  # (bs, 1)
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0)
             acc_ref[h] = acc_ref[h] * alpha + jnp.sum(
-                vq_ref[0, h].astype(jnp.float32) * w, axis=0
+                (vq_ref[0, h].astype(cdt) * w).astype(jnp.float32), axis=0
             )
             m_ref[h] = m_new
 
@@ -365,10 +376,15 @@ def decode_attention_pallas_q8_ragged(
     *,
     scale: float | None = None,
     block_s: int,
+    cast: str | None = None,
 ) -> jnp.ndarray:
-    """Length-aware int8-KV decode; contract matches ``decode_attention_pallas_q8``."""
+    """Length-aware int8-KV decode; contract matches ``decode_attention_pallas_q8``.
+    ``cast`` (default env MMMM_Q8_CAST or "f32") selects the dequant precision
+    — see ``_decode_kernel_q8_ragged``."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if cast is None:
+        cast = os.environ.get("MMMM_Q8_CAST", "f32")
     b, _, h, d = q.shape
     smax = k_q.shape[2]
     nblk = smax // block_s
@@ -381,7 +397,8 @@ def decode_attention_pallas_q8_ragged(
 
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel_q8_ragged, scale=scale, block_s=block_s, nblk=nblk
+            _decode_kernel_q8_ragged, scale=scale, block_s=block_s, nblk=nblk,
+            cast=cast,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -222,15 +222,35 @@ def probe_longctx(out):
             lambda qq, *o: decode_attention_pallas_q8_ragged(qq, *o, block_s=bs),
             q, kq, ks, vq, vs, kv_len,
         )
+        # r04 kernel-variant ladder: the f32-dequant q8 kernel measured
+        # 0.28-0.34 bw-util (vs bf16's 0.92) — is the bottleneck the dequant
+        # cast width (try bf16 products) or the S-block pipelining (try 256)?
+        t_q8_b = _time_loop(
+            lambda qq, *o: decode_attention_pallas_q8_ragged(
+                qq, *o, block_s=bs, cast="bf16"
+            ),
+            q, kq, ks, vq, vs, kv_len,
+        )
+        t_q8_b256 = _time_loop(
+            lambda qq, *o: decode_attention_pallas_q8_ragged(
+                qq, *o, block_s=256, cast="bf16"
+            ),
+            q, kq, ks, vq, vs, kv_len,
+        ) if smax % 256 == 0 else None
         # bandwidth utilization: the step's compulsory read is the K+V stream
         # (q/out are negligible); the ragged kernel's ceiling is HBM
         bytes_bf16 = 2 * b * h * smax * d * 2
         bytes_q8 = 2 * b * h * smax * (d + 2)  # int8 payload + bf16 scale
+        util8 = lambda t: round(bytes_q8 / t / 1e9 / hbm_gbps, 3) if t else None
         rec = {
             "probe": "longctx_decode", "B": b, "S": smax,
             "ms_bf16": round(t_bf16 * 1e3, 3), "ms_q8": round(t_q8 * 1e3, 3),
+            "ms_q8_bf16cast": round(t_q8_b * 1e3, 3),
+            "ms_q8_bf16cast_blk256": round(t_q8_b256 * 1e3, 3) if t_q8_b256 else None,
             "bw_util_bf16": round(bytes_bf16 / t_bf16 / 1e9 / hbm_gbps, 3),
-            "bw_util_q8": round(bytes_q8 / t_q8 / 1e9 / hbm_gbps, 3),
+            "bw_util_q8": util8(t_q8),
+            "bw_util_q8_bf16cast": util8(t_q8_b),
+            "bw_util_q8_bf16cast_blk256": util8(t_q8_b256),
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)
