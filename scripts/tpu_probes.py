@@ -256,6 +256,75 @@ def probe_longctx(out):
         out.append(rec)
 
 
+def probe_qdot(out):
+    """Decode-step matmul bandwidth: is the W8A16 qdot (``x @ q.astype(bf16)
+    * s``) reading the int8 bytes at roofline, or does XLA materialize the
+    dequantized bf16 weight at decode M (which would triple effective weight
+    traffic and explain the gen-program gap: measured ~11 ms/decode step at
+    B28 vs ~6.5 ms analytic)?
+
+    Times each decode-shape weight in a jitted scan (weights as explicit
+    operands, carry defeats CSE), int8-qdot vs plain bf16, and reports
+    achieved GB/s against the 819 GB/s HBM roofline."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mmmm_tpu.ops.quant import qdot, quantize_int8
+
+    m = int(__import__("os").environ.get("MMMM_PROBE_M", "28"))
+    rng = np.random.default_rng(0)
+    shapes = {
+        "qkvo_4096x4096": (4096, 4096),
+        "mlp_up_4096x11008": (4096, 11008),
+        "mlp_down_11008x4096": (11008, 4096),
+        "head_4096x32008": (4096, 32008),
+    }
+    iters = 300
+    for name, (k, n) in shapes.items():
+        w = jnp.asarray(rng.normal(0, 0.02, (k, n)), jnp.bfloat16)
+        wq = quantize_int8(w)
+        x0 = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+
+        # the scans restore the carry shape with a cheap slice/pad feedback
+        def run8(x, q, s):
+            def body(c, _):
+                y = qdot(c, {"q": q, "s": s})
+                xn = y[:, :k] if y.shape[1] >= k else jnp.pad(
+                    y, ((0, 0), (0, k - y.shape[1])))
+                return (xn * 1e-3).astype(jnp.bfloat16), ()
+            return lax.scan(body, x, None, length=iters)[0]
+
+        def runb(x, wf):
+            def body(c, _):
+                y = jnp.dot(c, wf)
+                xn = y[:, :k] if y.shape[1] >= k else jnp.pad(
+                    y, ((0, 0), (0, k - y.shape[1])))
+                return (xn * 1e-3).astype(jnp.bfloat16), ()
+            return lax.scan(body, x, None, length=iters)[0]
+
+        j8 = jax.jit(run8)
+        jb = jax.jit(runb)
+        np.asarray(jnp.sum(j8(x0, wq["q"], wq["s"]).astype(jnp.float32)))
+        t0 = time.time()
+        np.asarray(jnp.sum(j8(x0, wq["q"], wq["s"]).astype(jnp.float32)))
+        t8 = (time.time() - t0 - _dispatch_overhead()) / iters
+        np.asarray(jnp.sum(jb(x0, w).astype(jnp.float32)))
+        t0 = time.time()
+        np.asarray(jnp.sum(jb(x0, w).astype(jnp.float32)))
+        tb = (time.time() - t0 - _dispatch_overhead()) / iters
+        rec = {
+            "probe": "qdot_decode", "M": m, "K": k, "N": n,
+            "ms_int8": round(t8 * 1e3, 4), "ms_bf16": round(tb * 1e3, 4),
+            "gbps_int8": round(k * n / t8 / 1e9, 1),
+            "gbps_bf16": round(2 * k * n / tb / 1e9, 1),
+            "util_int8": round(k * n / t8 / 1e9 / 819.0, 3),
+            "util_bf16": round(2 * k * n / tb / 1e9 / 819.0, 3),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+
 def probe_stages(out, only: str | None = None):
     """Serving wall-clock split at the bench config (B28, W8A16): ViT-only,
     full prefill (ViT + LLM + first logits), SAM grounding stage, and the
@@ -282,7 +351,11 @@ def probe_stages(out, only: str | None = None):
         out.append(rec)
         return dt
 
-    run, flops, params, cfg = bench.build()
+    params, cfg, tokenizer = bench.build_params()
+    run, flops = bench.build_run(
+        params, cfg, tokenizer, bench.BATCH, bench.MAX_NEW_TOKENS,
+        bench.KV_DTYPE, bench.PREFILL_CHUNK,
+    )
     b = bench.BATCH
 
     if only in (None, "vit"):
@@ -302,7 +375,7 @@ def probe_stages(out, only: str | None = None):
         )
 
     if only in (None, "prefill"):
-        prefill_run = bench.build_prefill(params, cfg)
+        prefill_run = bench.build_prefill(params, cfg, b)
         timed("prefill", prefill_run)
 
     if only in (None, "sam"):
@@ -328,7 +401,7 @@ def probe_stages(out, only: str | None = None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["ragged", "longctx", "stages"])
+    ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot"])
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
@@ -337,6 +410,8 @@ def main(argv=None):
         probe_ragged(out)
     elif args.probe == "stages":
         probe_stages(out, only=args.only)
+    elif args.probe == "qdot":
+        probe_qdot(out)
     else:
         probe_longctx(out)
     return out
