@@ -1,0 +1,48 @@
+"""Guard the bench.py API surface that on-chip probe scripts call.
+
+The probes (scripts/tpu_probes.py, scripts/bench_stages.py) can only RUN on
+the real chip, so a bench.py refactor that renames a builder breaks them
+silently until chip time is spent discovering it (this happened in round 4:
+probe_stages still called the removed ``bench.build``). This test statically
+walks each probe script's AST for ``bench.<name>`` attribute reads and
+asserts the names exist, and sanity-checks the builder signatures bind.
+"""
+from __future__ import annotations
+
+import ast
+import inspect
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _bench_attr_reads(path: Path) -> set[str]:
+    tree = ast.parse(path.read_text())
+    names = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Attribute)
+            and isinstance(node.value, ast.Name)
+            and node.value.id == "bench"
+        ):
+            names.add(node.attr)
+    return names
+
+
+def test_probe_scripts_reference_existing_bench_names():
+    import bench
+
+    for script in ("scripts/tpu_probes.py", "scripts/bench_stages.py"):
+        for name in _bench_attr_reads(ROOT / script):
+            assert hasattr(bench, name), f"{script} references bench.{name}"
+
+
+def test_bench_builder_signatures_bind():
+    import bench
+
+    # the call shapes the probes use — keep in sync with scripts/*
+    inspect.signature(bench.build_prefill).bind("params", "cfg", 28)
+    inspect.signature(bench.build_run).bind(
+        "params", "cfg", "tok", 28, 128, "bf16", 0
+    )
+    inspect.signature(bench.build_params).bind()
