@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
@@ -380,6 +381,11 @@ def main():
     dt = (time.time() - t0) / n_iters
     reports_per_sec = BATCH / dt
     mfu = flops / dt / V5E_PEAK_BF16
+    # each extra row's build allocates ~1 GB of fresh device inputs: free the
+    # previous row's closure (device buffers are refcounted) or the 4th build
+    # runtime-OOMs next to the 8 GB of resident weights
+    del run, res
+    print(f"[bench] headline {reports_per_sec:.2f} rep/s", file=sys.stderr, flush=True)
 
     # long-decode row (the reference demo generates up to 512 new tokens):
     # same weights, one timed iteration; failures (e.g. cache OOM at the
@@ -401,9 +407,11 @@ def main():
                 "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
                 "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
             }
+            del lrun
         except Exception as e:  # noqa: BLE001 — report the failure inline
             long_row = {"error": f"{type(e).__name__}: {str(e)[:200]}",
                         "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv}
+        print(f"[bench] long_decode {long_row}", file=sys.stderr, flush=True)
 
     # speculative-decoding gauge: SPEC=7 at the fused batch ceiling (the spec
     # path doesn't chunk prefill), reporting measured tokens-per-weight-pass.
@@ -430,8 +438,10 @@ def main():
                 "verify_steps": int(st.get("iters", 0)),
                 "acceptance_caveat": "random-weight stream; see tests/test_speculative.py",
             }
+            del srun, sres
         except Exception as e:  # noqa: BLE001
             spec_row = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(f"[bench] spec {spec_row}", file=sys.stderr, flush=True)
 
     # prefill-only gauge (separate jit of the identical prefill computation,
     # at the chunk batch when chunked prefill is on)
