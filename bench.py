@@ -39,21 +39,24 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_NEWTOK", "128"))
-# B28 fused bf16 remains the measured single-chip sweet spot (r04 sweep:
-# 12.29 rep/s). Chunked prefill (MMMM_BENCH_PREFILL_CHUNK > 0) bounds the
-# prefill/SAM transients and lets B48–56 *run* — but only with int8 KV
-# (bf16 caches at B40+ still OOM on residents), and the q8 ragged decode
-# kernel's bandwidth utilization (0.28–0.34 vs bf16's 0.92, PROBE_LONGCTX_r04)
-# erases the batch-amortization win: B48-c8-int8 8.70, B56-c8-int8 9.56 rep/s.
-# Override with MMMM_BENCH_BATCH / MMMM_BENCH_PREFILL_CHUNK (0 = fused
-# single-program prefill).
-BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "28"))
-PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "0"))
+# B40 with single-program chunked prefill (lax.map over chunk-10 sub-batches
+# + full-batch decode scan, inference._chunked_generate_stage) is the r04
+# measured sweet spot: 13.50 rep/s vs 13.24 at B36-c12 and 12.29 at B28
+# fused (BENCH_SWEEP_r04c). The earlier three-program chunked path lost its
+# gains to per-chunk relay dispatches and donation hazards; int8 KV at
+# B48–56 still loses (9.7–9.9 rep/s — the q8 kernel's int8 retile holds it
+# at 0.27–0.34 bw-util vs bf16's 0.92 at EVERY cast/block variant,
+# PROBE_LONGCTX_r04b). Override with MMMM_BENCH_BATCH /
+# MMMM_BENCH_PREFILL_CHUNK (0 = fused single-program prefill).
+BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "40"))
+PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "10"))
 # Second bench row: long decode at the reference demo length (512 new tokens,
 # /root/reference/scripts/demo.py:46), where the KV stream quadruples.
-# MMMM_BENCH_LONG=0 skips it; batch/kv default to the headline row's.
+# MMMM_BENCH_LONG=0 skips it; kv defaults to the headline row's. Batch
+# defaults to 28: the 704-slot bf16 cache is 4.6 GB there — B40 would put
+# ~6.6 GB of cache next to the 8 GB weights and OOM.
 LONG_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_LONG", "512") or 0)
-LONG_BATCH = int(os.environ.get("MMMM_BENCH_LONG_BATCH", "0")) or None
+LONG_BATCH = int(os.environ.get("MMMM_BENCH_LONG_BATCH", "28")) or None
 LONG_KV = os.environ.get("MMMM_BENCH_LONG_KV", "")
 PROMPT_LEN = 192
 N_VIS = 146
