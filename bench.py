@@ -494,6 +494,9 @@ def main():
                 "quantized": os.environ.get("MMMM_BENCH_QUANT", "1") != "0",
                 "weight_bits": 4 if os.environ.get("MMMM_BENCH_QUANT") == "4"
                 else (8 if os.environ.get("MMMM_BENCH_QUANT", "1") != "0" else 16),
+                # MMMM_W8A8=1: decode matmuls run native int8 x int8 with
+                # dynamic per-row activation scales (see ops/quant.qdot)
+                "act_bits": 8 if os.environ.get("MMMM_W8A8", "0") == "1" else 16,
             }
         )
     )

@@ -17,6 +17,7 @@ Faithfully reproduced quirks:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -120,9 +121,18 @@ def _decoder_layer(
     b, s, c = x.shape
     h, d = cfg.num_attention_heads, cfg.head_dim
     if lang_only:
-        dual = lambda t, wv, wl: qdot(t, wl)
-        mlp = lambda t: qdot(
-            jax.nn.silu(qdot(t, lp["lang_mlp"]["gate"])) * qdot(t, lp["lang_mlp"]["up"]),
+        # decode is HBM-bound on the weight stream; MMMM_W8A8=1 swaps the
+        # W8A16 dequant matmuls (int8->bf16 retile caps them at ~0.45 of
+        # roofline at decode M, PROBE_QDOT_r04) for native int8 x int8 MXU
+        # dots with dynamic per-row activation scales (see ops/quant.qdot).
+        # Decode-only: prefill is compute-bound and gains nothing; the
+        # lm_head stays W8A16 (greedy argmax is the most quantization-
+        # sensitive op in the serving path).
+        a8 = os.environ.get("MMMM_W8A8", "0") == "1"
+        qd = partial(qdot, act_quant=a8)
+        dual = lambda t, wv, wl: qd(t, wl)
+        mlp = lambda t: qd(
+            jax.nn.silu(qd(t, lp["lang_mlp"]["gate"])) * qd(t, lp["lang_mlp"]["up"]),
             lp["lang_mlp"]["down"],
         )
     elif expert_span is not None:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +42,14 @@ def _generate_stage(
     kv_cache_dtype: str = "bf16",
     spec_draft_len: int = 0,
     prefill_chunk: int = 0,
+    w8a8: bool = False,
 ):
     """Jitted first stage: the full prefill + decode scan.
+
+    ``w8a8`` is read from MMMM_W8A8 by the caller and exists here only as an
+    lru_cache key: the flag is consumed at TRACE time inside the decoder's
+    lang-only decode branch, so flipping the env mid-process must not reuse a
+    stale compiled stage.
 
     ``greedy_generate`` is pure jnp; without a jit wrapper its prefill
     (ViT + LLM forward, hundreds of primitives) dispatches eagerly — fine on
@@ -290,6 +297,7 @@ def generate_grounded(
         attn_impl, image is not None,
         tuple(vis_span) if vis_span is not None else None,
         kv_cache_dtype, spec_draft_len, prefill_chunk,
+        os.environ.get("MMMM_W8A8", "0") == "1",
     )
     res, spec_stats = gen(
         params, input_ids, token_type_ids, position_ids, prompt_len, image

@@ -80,12 +80,35 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and ("q" in w or "q4" in w) and ("s" in w or "s4" in w)
 
 
-def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
+def qdot(x: jnp.ndarray, w, act_quant: bool = False) -> jnp.ndarray:
     """x @ w for plain or quantized weights; the dequant scale applies after
     the matmul (int8) or inside the fused kernel (int4) so the quantized
-    tensor is what streams from HBM."""
+    tensor is what streams from HBM.
+
+    ``act_quant=True`` (int8 weights only): W8A8 — dynamically quantize the
+    activations per row and contract with a NATIVE int8 x int8 MXU matmul
+    (int32 accumulation), rescaling by ``sx * s`` afterwards. The W8A16 form
+    (``x @ q.astype(bf16) * s``) pays an int8->bf16 retile on every weight
+    read that caps it at ~0.45 of the HBM roofline at decode M
+    (PROBE_QDOT_r04); the native int8 dot reads the int8 bytes with no
+    dequant at all. Adds per-row 8-bit activation error (~0.4% relative) —
+    an opt-in serving mode (MMMM_W8A8), never the parity path."""
     if not is_quantized(w):
         return jnp.dot(x, w)
+    if act_quant and "q" in w:
+        from jax import lax
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        amax = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.round(x2.astype(jnp.float32) / sx).astype(jnp.int8)
+        y32 = lax.dot_general(
+            xq, w["q"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y32.astype(jnp.float32) * sx * jnp.squeeze(w["s"], axis=-2)).astype(x.dtype)
+        return y.reshape(*lead, y.shape[-1])
     if "q4" in w:
         import jax
 

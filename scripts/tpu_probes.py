@@ -264,8 +264,18 @@ def probe_qdot(out):
     B28 vs ~6.5 ms analytic)?
 
     Times each decode-shape weight in a jitted scan (weights as explicit
-    operands, carry defeats CSE), int8-qdot vs plain bf16, and reports
-    achieved GB/s against the 819 GB/s HBM roofline."""
+    operands, carry defeats CSE), for three weight-read strategies:
+      int8 = W8A16 qdot (``x @ q.astype(bf16) * s`` — dequant retile on VPU)
+      bf16 = plain dense matmul (2x the bytes, no retile)
+      w8a8 = dynamic per-row activation int8 + NATIVE int8xint8 MXU matmul
+             with int32 accum (no dequant retile on the weight read at all)
+    and reports achieved GB/s against the 819 GB/s HBM roofline.
+
+    Probe-validity note (first run got this wrong): the feedback that
+    restores the carry shape must CONSUME every output column — a plain
+    ``y[:, :k]`` slice lets XLA dead-code-eliminate the unused weight
+    columns (the N=32008 'bf16' row measured 9.3 TB/s: it was reading 1/8th
+    of the weight). The reduction over the tail keeps all columns live."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -280,46 +290,64 @@ def probe_qdot(out):
         "mlp_down_11008x4096": (11008, 4096),
         "head_4096x32008": (4096, 32008),
     }
-    iters = 300
+    iters = 1000
     for name, (k, n) in shapes.items():
         w = jnp.asarray(rng.normal(0, 0.02, (k, n)), jnp.bfloat16)
         wq = quantize_int8(w)
         x0 = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
 
-        # the scans restore the carry shape with a cheap slice/pad feedback
+        def feedback(y):
+            # consume EVERY column (DCE guard), restore (m, k) carry
+            if y.shape[1] > k:
+                tail = jnp.sum(y[:, k:], axis=1, keepdims=True)
+                xn = y[:, :k] + tail.astype(y.dtype)
+            elif y.shape[1] < k:
+                xn = jnp.pad(y, ((0, 0), (0, k - y.shape[1])))
+            else:
+                xn = y
+            return (xn * 1e-3).astype(jnp.bfloat16)
+
         def run8(x, q, s):
             def body(c, _):
-                y = qdot(c, {"q": q, "s": s})
-                xn = y[:, :k] if y.shape[1] >= k else jnp.pad(
-                    y, ((0, 0), (0, k - y.shape[1])))
-                return (xn * 1e-3).astype(jnp.bfloat16), ()
+                return feedback(qdot(c, {"q": q, "s": s})), ()
             return lax.scan(body, x, None, length=iters)[0]
 
         def runb(x, wf):
             def body(c, _):
-                y = jnp.dot(c, wf)
-                xn = y[:, :k] if y.shape[1] >= k else jnp.pad(
-                    y, ((0, 0), (0, k - y.shape[1])))
-                return (xn * 1e-3).astype(jnp.bfloat16), ()
+                return feedback(jnp.dot(c, wf)), ()
             return lax.scan(body, x, None, length=iters)[0]
 
-        j8 = jax.jit(run8)
-        jb = jax.jit(runb)
-        np.asarray(jnp.sum(j8(x0, wq["q"], wq["s"]).astype(jnp.float32)))
-        t0 = time.time()
-        np.asarray(jnp.sum(j8(x0, wq["q"], wq["s"]).astype(jnp.float32)))
-        t8 = (time.time() - t0 - _dispatch_overhead()) / iters
-        np.asarray(jnp.sum(jb(x0, w).astype(jnp.float32)))
-        t0 = time.time()
-        np.asarray(jnp.sum(jb(x0, w).astype(jnp.float32)))
-        tb = (time.time() - t0 - _dispatch_overhead()) / iters
+        def run_a8(x, q, s):
+            def body(c, _):
+                # dynamic per-row activation quantization (decode M is tiny:
+                # the quant cost is m*k elementwise vs k*n weight reads)
+                amax = jnp.max(jnp.abs(c), axis=1, keepdims=True)
+                sx = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
+                xq = jnp.round(c.astype(jnp.float32) / sx).astype(jnp.int8)
+                y32 = lax.dot_general(
+                    xq, q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (y32.astype(jnp.float32) * sx * s).astype(jnp.bfloat16)
+                return feedback(y), ()
+            return lax.scan(body, x, None, length=iters)[0]
+
+        def timed(jfn, *args):
+            np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))  # compile
+            t0 = time.time()
+            np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))
+            return (time.time() - t0 - _dispatch_overhead()) / iters
+
+        t8 = timed(jax.jit(run8), x0, wq["q"], wq["s"])
+        tb = timed(jax.jit(runb), x0, w)
+        ta8 = timed(jax.jit(run_a8), x0, wq["q"], wq["s"])
         rec = {
             "probe": "qdot_decode", "M": m, "K": k, "N": n,
             "ms_int8": round(t8 * 1e3, 4), "ms_bf16": round(tb * 1e3, 4),
-            "gbps_int8": round(k * n / t8 / 1e9, 1),
-            "gbps_bf16": round(2 * k * n / tb / 1e9, 1),
+            "ms_w8a8": round(ta8 * 1e3, 4),
             "util_int8": round(k * n / t8 / 1e9 / 819.0, 3),
             "util_bf16": round(2 * k * n / tb / 1e9 / 819.0, 3),
+            "util_w8a8": round(k * n / ta8 / 1e9 / 819.0, 3),
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)

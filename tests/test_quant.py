@@ -314,3 +314,66 @@ def test_decode_attention_q8_dispatch(monkeypatch):
     monkeypatch.delenv("MMMM_Q8_MXU", raising=False)
     vpu = decode_attention_pallas_q8(q, kq, ks, vq, vs, kv_len)
     np.testing.assert_allclose(np.asarray(mxu), np.asarray(vpu), rtol=4e-3, atol=4e-3)
+
+
+def test_qdot_act_quant_math():
+    """W8A8 qdot (native int8 x int8, dynamic per-row activation scales)
+    matches the explicit quantize->int32-dot->rescale reference exactly, and
+    stays within the combined 8+8-bit error of the exact product."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(6, 32)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(32, 24)) * 0.05, jnp.float32)
+    qw = quantize_int8(w)
+    got = qdot(x, qw, act_quant=True)
+    # reference: same quantization, plain numpy
+    xf = np.asarray(x, np.float32)
+    sx = np.maximum(np.abs(xf).max(axis=1, keepdims=True), 1e-8) / 127.0
+    xq = np.round(xf / sx).astype(np.int8)
+    y = (xq.astype(np.int32) @ np.asarray(qw["q"], np.int32)).astype(np.float32)
+    want = y * sx * np.asarray(qw["s"], np.float32)[0]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want.astype(np.float32), rtol=1e-2, atol=1e-2
+    )
+    exact = xf @ np.asarray(w, np.float32)
+    err = np.abs(np.asarray(got, np.float32) - exact)
+    scale = np.abs(exact).max()
+    assert err.max() / scale < 0.03, err.max() / scale
+
+
+def test_decode_step_w8a8_close_to_w8a16(monkeypatch):
+    """MMMM_W8A8=1 swaps the lang-only decode matmuls to native int8 dots;
+    the step's hidden output stays close to the W8A16 path (activation
+    quantization adds ~0.4% relative error per matmul)."""
+    from mmmm_tpu.models.cogvlm.decoder import llm_decode_step
+
+    cfg = CogVLMConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+    )
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_llm_for_serving({"llm": params, "vision": {}})["llm"]
+    b, smax = 2, 8
+    rng = np.random.default_rng(6)
+    emb = jnp.asarray(rng.normal(size=(b, 1, 32)) * 0.3, jnp.float32)
+    tt = jnp.zeros((b, 2), jnp.int32)
+    pos = jnp.full((b, 1), 3, jnp.int32)
+    caches = [
+        (jnp.asarray(rng.normal(size=(b, 4, smax, 8)) * 0.3, jnp.float32),
+         jnp.asarray(rng.normal(size=(b, 4, smax, 8)) * 0.3, jnp.float32))
+        for _ in range(2)
+    ]
+    write = jnp.full((b,), 3, jnp.int32)
+    kv_len = write + 1
+
+    def step():
+        h, _ = llm_decode_step(
+            qparams, cfg, emb, tt, pos, caches, write, kv_len, attn_impl="xla"
+        )
+        return np.asarray(h, np.float32)
+
+    monkeypatch.delenv("MMMM_W8A8", raising=False)
+    base = step()
+    monkeypatch.setenv("MMMM_W8A8", "1")
+    got = step()
+    rel = np.abs(got - base).max() / (np.abs(base).max() + 1e-9)
+    assert 0 < rel < 0.05, rel  # changed (quantized) but close
