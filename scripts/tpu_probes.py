@@ -427,9 +427,115 @@ def probe_stages(out, only: str | None = None):
         timed("end_to_end", run)
 
 
+def probe_decode_bisect(out):
+    """Attribute the decode-step wall clock (measured ~11 ms vs ~6.5 ms
+    analytic at the serving config) by timing the REAL greedy decode scan
+    (``generate.greedy_decode_from_state`` — prefill excluded: the state is
+    built once, unpatched, and reused) with one component ablated per
+    variant. Ablations are trace-time monkeypatches of the module-level
+    names the decoder resolves when jit traces the scan, each preserving
+    data dependencies (a reduction/broadcast of the real input) so XLA
+    cannot dead-code-eliminate the surviving components:
+
+      full       unmodified decode scan (the baseline)
+      noattn     cache-read attention -> pass-through q (skips K/V reads)
+      noupd      cache writes -> identity (skips the per-step scatter)
+      noweights  decoder qdot -> row-sum broadcast (skips ALL weight reads)
+      nohead     lm_head matmul -> broadcast (argmax + loop logic remain)
+      nosmall    rms_norm/rope -> identity (isolates the per-layer VPU ops)
+
+    Component cost = ms(full) - ms(variant); overlaps mean the parts need
+    not sum to the total, but the big terms identify where the next kernel
+    or fusion effort pays."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from mmmm_tpu.models import generate as gen_mod
+    from mmmm_tpu.models.cogvlm import decoder as dec_mod
+    from mmmm_tpu.ops import decode_kernel as dk_mod
+
+    b = int(os.environ.get("MMMM_PROBE_B", str(bench.BATCH)))
+    new_tokens = int(os.environ.get("MMMM_PROBE_NEWTOK", "128"))
+    params, cfg, tokenizer = bench.build_params()
+    s = bench.PROMPT_LEN
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32)
+    tt = jnp.zeros((b, s), jnp.int32)  # text-only: no ViT compile in the loop
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s)).astype(jnp.int32)
+    plen = jnp.full((b,), s, jnp.int32)
+
+    state0, hidden, last_hidden = jax.jit(
+        lambda p, i, t, po, pl: gen_mod.prefill_decode_state(
+            p["cogvlm"], cfg.vlm, i, t, po, pl, smax=s + new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+        )
+    )(params, ids, tt, pos, plen)
+    np.asarray(state0["tok"])  # fence prefill before any timing
+
+    def cheap_dot(x, w, **kw):
+        n = (w["q"] if isinstance(w, dict) else w).shape[-1]
+        dep = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return jnp.broadcast_to(dep, x.shape[:-1] + (n,)).astype(x.dtype)
+
+    def run_variant(name, patches):
+        saved = [(mod, attr, getattr(mod, attr)) for mod, attr, _ in patches]
+        for mod, attr, repl in patches:
+            setattr(mod, attr, repl)
+        try:
+            # hidden/last_hidden are ARGUMENTS, not closure captures: a
+            # closed-over device array becomes a jit constant shipped to the
+            # remote compile service (63 MB at B40 through a ~10 MB/s relay)
+            decode = jax.jit(
+                lambda p, st, hd, lh: gen_mod.greedy_decode_from_state(
+                    p["cogvlm"], cfg.vlm, st, hd, lh,
+                    max_new_tokens=new_tokens,
+                    eos_token_id=tokenizer.eos_token_id,
+                    bop_token_id=tokenizer.bop_token_id,
+                    eop_token_id=tokenizer.eop_token_id,
+                ).tokens  # GenerateResult is not a pytree; return the array
+            )
+            np.asarray(jnp.sum(
+                decode(params, state0, hidden, last_hidden)))  # compile
+        finally:
+            for mod, attr, orig in saved:
+                setattr(mod, attr, orig)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(jnp.sum(
+                decode(params, state0, hidden, last_hidden)))
+            best = min(best, time.time() - t0)
+        rec = {"probe": "decode_bisect", "variant": name, "batch": b,
+               "new_tokens": new_tokens, "ms_total": round(best * 1e3, 1),
+               "ms_per_step": round(best * 1e3 / new_tokens, 3)}
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+        del decode
+
+    run_variant("full", [])
+    run_variant("noattn", [
+        (dk_mod, "decode_attention_pallas", lambda q, k, v, kl: q),
+        (dec_mod, "decode_attention_bhsd", lambda q, k, v, valid: q),
+    ])
+    run_variant("noupd", [
+        (jax.lax, "dynamic_update_slice_in_dim",
+         lambda c, u, i, axis: c),
+    ])
+    run_variant("noweights", [(dec_mod, "qdot", cheap_dot)])
+    run_variant("nohead", [(gen_mod, "qdot", cheap_dot)])
+    run_variant("nosmall", [
+        (dec_mod, "rms_norm", lambda x, w, eps: x),
+        (dec_mod, "apply_rope", lambda q, k, cos, sin, pos: (q, k)),
+    ])
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot"])
+    ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot",
+                                      "decodebisect"])
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
@@ -440,6 +546,8 @@ def main(argv=None):
         probe_stages(out, only=args.only)
     elif args.probe == "qdot":
         probe_qdot(out)
+    elif args.probe == "decodebisect":
+        probe_decode_bisect(out)
     else:
         probe_longctx(out)
     return out
