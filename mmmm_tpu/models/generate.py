@@ -16,6 +16,7 @@ gather the states that generated each ``</p>`` and prompt the SAM heads
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -150,7 +151,15 @@ def greedy_decode_from_state(
         }
         return new_state, out
 
-    state, outs = jax.lax.scan(step, state, None, length=max_new_tokens)
+    # MMMM_DECODE_UNROLL>1 unrolls the decode scan body (token-identical;
+    # trades compile time + code size for less per-step loop overhead and
+    # cross-step scheduling freedom. A/B knob for the serving bench — the
+    # decode step runs ~11 ms vs ~6.5 ms analytic and part of the gap may be
+    # per-iteration fixed cost).
+    unroll = int(os.environ.get("MMMM_DECODE_UNROLL", "1"))
+    state, outs = jax.lax.scan(
+        step, state, None, length=max_new_tokens, unroll=unroll
+    )
     tokens = outs["token"].T  # (B, max_new): token fed at each step == generated seq
     step_hidden = outs["hidden"].transpose(1, 0, 2)  # (B, max_new, C)
     # align so hidden[:, t] is the state that *produced* tokens[:, t]

@@ -43,13 +43,14 @@ def _generate_stage(
     spec_draft_len: int = 0,
     prefill_chunk: int = 0,
     w8a8: bool = False,
+    decode_unroll: int = 1,
 ):
     """Jitted first stage: the full prefill + decode scan.
 
-    ``w8a8`` is read from MMMM_W8A8 by the caller and exists here only as an
-    lru_cache key: the flag is consumed at TRACE time inside the decoder's
-    lang-only decode branch, so flipping the env mid-process must not reuse a
-    stale compiled stage.
+    ``w8a8`` and ``decode_unroll`` are read from MMMM_W8A8 / MMMM_DECODE_UNROLL
+    by the caller and exist here only as lru_cache keys: both flags are
+    consumed at TRACE time (decoder lang-only branch / decode scan), so
+    flipping the env mid-process must not reuse a stale compiled stage.
 
     ``greedy_generate`` is pure jnp; without a jit wrapper its prefill
     (ViT + LLM forward, hundreds of primitives) dispatches eagerly — fine on
@@ -298,6 +299,7 @@ def generate_grounded(
         tuple(vis_span) if vis_span is not None else None,
         kv_cache_dtype, spec_draft_len, prefill_chunk,
         os.environ.get("MMMM_W8A8", "0") == "1",
+        int(os.environ.get("MMMM_DECODE_UNROLL", "1")),
     )
     res, spec_stats = gen(
         params, input_ids, token_type_ids, position_ids, prompt_len, image

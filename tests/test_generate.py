@@ -69,6 +69,32 @@ def test_greedy_generate_matches_naive():
     assert got == naive, f"decode {got} != full-forward {naive}"
 
 
+def test_decode_unroll_token_identical(monkeypatch):
+    """MMMM_DECODE_UNROLL only changes scan codegen, never tokens or hidden."""
+    cfg = MMMMConfig.tiny().vlm
+    params = MMMMModel(MMMMConfig.tiny()).init(jax.random.PRNGKey(5))["cogvlm"]
+    rng = np.random.default_rng(2)
+    b, s, max_new = 2, 12, 7  # 7 % 2 != 0: exercises the unroll remainder
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(b, s)), jnp.int32)
+    tt = jnp.zeros((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s)).astype(jnp.int32)
+
+    def run():
+        return greedy_generate(
+            params, cfg, ids, tt, pos, jnp.full((b,), s, jnp.int32),
+            max_new_tokens=max_new, eos_token_id=2, bop_token_id=-1,
+            eop_token_id=-1, attn_impl="xla",
+        )
+
+    base = run()
+    monkeypatch.setenv("MMMM_DECODE_UNROLL", "2")
+    unrolled = run()
+    np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(unrolled.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(base.hidden), np.asarray(unrolled.hidden)
+    )
+
+
 def test_generate_ragged_batch_padding():
     """Two prompts of different lengths in one padded batch decode like solo runs."""
     cfg = MMMMConfig.tiny().vlm
