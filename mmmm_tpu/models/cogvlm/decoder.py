@@ -214,8 +214,20 @@ def _decoder_layer(
                 )
         else:
             k_cache, v_cache = kv_cache
-            k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
-            v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
+            if use_pallas and os.environ.get("MMMM_KV_APPEND", "1") == "1":
+                # in-place append kernel: the vmapped DUS below lowers to a
+                # scatter whose result feeding the Pallas read makes XLA copy
+                # the whole cache every step (~4.4 ms at B40 — the single
+                # largest decode-step term, PROBE_DECODE_r04.jsonl)
+                from ...ops.decode_kernel import kv_append_pallas
+
+                k_cache, v_cache = kv_append_pallas(
+                    k_cache, v_cache,
+                    jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), write_index,
+                )
+            else:
+                k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
+                v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
             if use_pallas:
                 from ...ops.decode_kernel import decode_attention_pallas
 

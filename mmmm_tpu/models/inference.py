@@ -44,13 +44,15 @@ def _generate_stage(
     prefill_chunk: int = 0,
     w8a8: bool = False,
     decode_unroll: int = 1,
+    kv_append: bool = True,
 ):
     """Jitted first stage: the full prefill + decode scan.
 
-    ``w8a8`` and ``decode_unroll`` are read from MMMM_W8A8 / MMMM_DECODE_UNROLL
-    by the caller and exist here only as lru_cache keys: both flags are
-    consumed at TRACE time (decoder lang-only branch / decode scan), so
-    flipping the env mid-process must not reuse a stale compiled stage.
+    ``w8a8``, ``decode_unroll`` and ``kv_append`` are read from MMMM_W8A8 /
+    MMMM_DECODE_UNROLL / MMMM_KV_APPEND by the caller and exist here only as
+    lru_cache keys: all three are consumed at TRACE time (decoder lang-only
+    branch / decode scan / cache-append form), so flipping the env
+    mid-process must not reuse a stale compiled stage.
 
     ``greedy_generate`` is pure jnp; without a jit wrapper its prefill
     (ViT + LLM forward, hundreds of primitives) dispatches eagerly — fine on
@@ -300,6 +302,7 @@ def generate_grounded(
         kv_cache_dtype, spec_draft_len, prefill_chunk,
         os.environ.get("MMMM_W8A8", "0") == "1",
         int(os.environ.get("MMMM_DECODE_UNROLL", "1")),
+        os.environ.get("MMMM_KV_APPEND", "1") == "1",
     )
     res, spec_stats = gen(
         params, input_ids, token_type_ids, position_ids, prompt_len, image

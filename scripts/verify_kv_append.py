@@ -1,0 +1,81 @@
+"""On-chip verification of the in-place KV-append kernel (kv_append_pallas).
+
+1. micro: kernel output == vmapped dynamic_update_slice reference, ragged
+   per-sample write indices, bf16, serving-like (H=32, D=128) rows.
+2. integration: greedy decode tokens bit-identical with MMMM_KV_APPEND=0/1
+   on a small head-dim-128 config via the real decode path (attn_impl=auto
+   -> pallas on TPU).
+3. timing: decode-scan ms/step A/B at the serving shape (B=40, H=32, S=320,
+   D=128, 14 layers' worth of appends simulated by one layer x14 scan) is
+   left to the bench sweep — this script only gates correctness.
+"""
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+print(jax.devices())
+
+from mmmm_tpu.ops.decode_kernel import kv_append_pallas
+
+# ---- 1. micro ---------------------------------------------------------------
+rng = np.random.default_rng(0)
+b, h, smax, d = 5, 32, 64, 128
+kc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+vc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+kn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+vn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+widx = jnp.asarray([0, 7, 31, 63, 40], jnp.int32)
+
+upd = jax.vmap(lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1))
+ref_k = np.asarray(upd(kc, kn, widx))
+ref_v = np.asarray(upd(vc, vn, widx))
+got_k, got_v = jax.jit(kv_append_pallas)(kc, vc, kn, vn, widx)
+np.testing.assert_array_equal(np.asarray(got_k), ref_k)
+np.testing.assert_array_equal(np.asarray(got_v), ref_v)
+print("MICRO OK: kernel == vmapped DUS on ragged indices")
+
+# ---- 2. integration ---------------------------------------------------------
+from mmmm_tpu.models.cogvlm import CogVLMConfig
+from mmmm_tpu.models.cogvlm.model import init_cogvlm_params
+from mmmm_tpu.models.generate import greedy_generate
+
+cfg = CogVLMConfig(
+    vocab_size=256, hidden_size=512, intermediate_size=1024,
+    num_hidden_layers=2, num_attention_heads=4,
+    vision=CogVLMConfig.tiny().vision,
+)
+params = init_cogvlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+bb, s, max_new = 3, 24, 16
+ids = jnp.asarray(rng.integers(4, cfg.vocab_size, size=(bb, s)), jnp.int32)
+tt = jnp.zeros((bb, s), jnp.int32)
+pos = jnp.broadcast_to(jnp.arange(s)[None], (bb, s)).astype(jnp.int32)
+plen = jnp.asarray([24, 17, 20], jnp.int32)  # ragged: distinct write offsets
+
+
+def run():
+    return np.asarray(
+        jax.jit(
+            lambda p: greedy_generate(
+                p, cfg, ids, tt, pos, plen, max_new_tokens=max_new,
+                eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+                attn_impl="auto",
+            ).tokens
+        )(params)
+    )
+
+
+os.environ["MMMM_KV_APPEND"] = "0"
+base = run()
+os.environ["MMMM_KV_APPEND"] = "1"
+fused = run()
+print("dus   :", base.tolist())
+print("append:", fused.tolist())
+np.testing.assert_array_equal(base, fused)
+print("INTEGRATION OK: decode tokens identical with in-place append")
+print("KV APPEND VERIFY DONE")

