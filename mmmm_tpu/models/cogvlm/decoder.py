@@ -190,12 +190,22 @@ def _decoder_layer(
 
             kq_new, ks_new = quantize_kv(jnp.swapaxes(k, 1, 2))  # (B, H, 1, D/1)
             vq_new, vs_new = quantize_kv(jnp.swapaxes(v, 1, 2))
-            new_cache = {
-                "kq": upd(kv_cache["kq"], kq_new, write_index),
-                "ks": upd(kv_cache["ks"], ks_new, write_index),
-                "vq": upd(kv_cache["vq"], vq_new, write_index),
-                "vs": upd(kv_cache["vs"], vs_new, write_index),
-            }
+            if use_pallas and os.environ.get("MMMM_KV_APPEND", "1") == "1":
+                # same scatter→full-cache-copy pathology as the bf16 path
+                # below, and worse here: int8 KV is the long-context option,
+                # so the per-step copy scales with the (large) Smax
+                from ...ops.decode_kernel import kv_append_pallas_q8
+
+                new_cache = kv_append_pallas_q8(
+                    kv_cache, kq_new, ks_new, vq_new, vs_new, write_index
+                )
+            else:
+                new_cache = {
+                    "kq": upd(kv_cache["kq"], kq_new, write_index),
+                    "ks": upd(kv_cache["ks"], ks_new, write_index),
+                    "vq": upd(kv_cache["vq"], vq_new, write_index),
+                    "vs": upd(kv_cache["vs"], vs_new, write_index),
+                }
             if use_pallas:
                 from ...ops.decode_kernel import decode_attention_pallas_q8
 

@@ -58,16 +58,16 @@ def kv_append_pallas(
     (bit-identical semantics; the Pallas blocked-blend path needs real Mosaic
     lowering, and on CPU the copy pathology this kernel exists to avoid
     doesn't bind)."""
-    if jax.default_backend() != "tpu":
+    b, h, smax, d = k_cache.shape
+    # Non-TPU backends keep the DUS form (the copy pathology is a TPU-emitter
+    # artifact and the kernel needs real Mosaic lowering); an unaligned Smax
+    # (arbitrary demo prompt lengths) also keeps it rather than failing the
+    # trace — the 8-slot window needs 8 | Smax. Perf paths align Smax.
+    if jax.default_backend() != "tpu" or smax % 8:
         upd = jax.vmap(
             lambda c, u, i: lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
         )
         return upd(k_cache, k_new, write_index), upd(v_cache, v_new, write_index)
-    b, h, smax, d = k_cache.shape
-    if smax % 8:
-        raise ValueError(
-            f"kv_append_pallas needs a cache length divisible by 8, got {smax}"
-        )
 
     def blk_map(i, widx):
         return (i, 0, widx[i] // 8, 0)
@@ -97,6 +97,100 @@ def kv_append_pallas(
         input_output_aliases={3: 0, 4: 1},
     )(write_index.astype(jnp.int32), k_new, v_new, k_cache, v_cache)
     return kc, vc
+
+
+def _kv_append_q8_kernel(
+    widx_ref,
+    kqn_ref, ksn_ref, vqn_ref, vsn_ref,
+    kq_ref, ks_ref, vq_ref, vs_ref,
+    kqo_ref, kso_ref, vqo_ref, vso_ref,
+):
+    """int8-KV variant of _kv_append_kernel: blend the new quantized row +
+    its bf16 scale into the aligned 32-slot window (int8 tiles the
+    second-minor axis in 32-sublane groups, so the window is 32 slots;
+    the bf16 scales ride the same window — 32 is a multiple of their
+    8-sublane tile)."""
+    i = pl.program_id(0)
+    row = widx_ref[i] % 32
+    sel = lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1) == row  # (1, 32, 1)
+    kqo_ref[0] = jnp.where(sel, kqn_ref[0], kq_ref[0])  # (H, 32, D) int8
+    kso_ref[0] = jnp.where(sel, ksn_ref[0], ks_ref[0])  # (H, 32, 1) bf16
+    vqo_ref[0] = jnp.where(sel, vqn_ref[0], vq_ref[0])
+    vso_ref[0] = jnp.where(sel, vsn_ref[0], vs_ref[0])
+
+
+def kv_append_pallas_q8(
+    cache: dict,  # {"kq","ks","vq","vs"}: (B,H,Smax,D) int8 / (B,H,Smax,1) bf16
+    kq_new: jnp.ndarray,  # (B, H, 1, D) int8
+    ks_new: jnp.ndarray,  # (B, H, 1, 1) bf16
+    vq_new: jnp.ndarray,  # (B, H, 1, D) int8
+    vs_new: jnp.ndarray,  # (B, H, 1, 1) bf16
+    write_index: jnp.ndarray,  # (B,)
+) -> dict:
+    """In-place single-token append into the int8-quantized KV cache.
+
+    Same copy pathology as the bf16 path (the vmapped-DUS scatter feeding
+    the q8 attention read makes XLA duplicate the whole cache per step),
+    and it matters MORE here: int8 KV is the long-context capacity option,
+    and the copy scales with Smax — at S=8192 it costs both the bandwidth
+    and a transient equal to the entire pool. CPU falls back to DUS."""
+    if jax.default_backend() != "tpu":
+        upd = jax.vmap(
+            lambda c, u, i: lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+        )
+        return {
+            "kq": upd(cache["kq"], kq_new, write_index),
+            "ks": upd(cache["ks"], ks_new, write_index),
+            "vq": upd(cache["vq"], vq_new, write_index),
+            "vs": upd(cache["vs"], vs_new, write_index),
+        }
+    b, h, smax, d = cache["kq"].shape
+    if smax % 32:
+        # the 32-slot window needs an aligned cache length; odd Smax keeps
+        # the (slower, copy-prone) DUS form rather than failing the trace —
+        # int8 KV is an opt-in capacity path and every serving Smax is a
+        # multiple of 32 in practice
+        upd = jax.vmap(
+            lambda c, u, i: lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+        )
+        return {
+            "kq": upd(cache["kq"], kq_new, write_index),
+            "ks": upd(cache["ks"], ks_new, write_index),
+            "vq": upd(cache["vq"], vq_new, write_index),
+            "vs": upd(cache["vs"], vs_new, write_index),
+        }
+
+    def q_map(i, widx):
+        return (i, 0, widx[i] // 32, 0)
+
+    new_specs = [
+        pl.BlockSpec((1, h, 1, d), lambda i, widx: (i, 0, 0, 0)),
+        pl.BlockSpec((1, h, 1, 1), lambda i, widx: (i, 0, 0, 0)),
+    ]
+    blk_specs = [
+        pl.BlockSpec((1, h, 32, d), q_map),
+        pl.BlockSpec((1, h, 32, 1), q_map),
+    ]
+    kq, ks, vq, vs = pl.pallas_call(
+        _kv_append_q8_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=new_specs + new_specs + blk_specs + blk_specs,
+            out_specs=blk_specs + blk_specs,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(cache[k].shape, cache[k].dtype)
+            for k in ("kq", "ks", "vq", "vs")
+        ],
+        # inputs: widx(0) kqn(1) ksn(2) vqn(3) vsn(4) kq(5) ks(6) vq(7) vs(8)
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+    )(
+        write_index.astype(jnp.int32),
+        kq_new, ks_new, vq_new, vs_new,
+        cache["kq"], cache["ks"], cache["vq"], cache["vs"],
+    )
+    return {"kq": kq, "ks": ks, "vq": vq, "vs": vs}
 
 
 def _decode_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):

@@ -78,4 +78,50 @@ print("dus   :", base.tolist())
 print("append:", fused.tolist())
 np.testing.assert_array_equal(base, fused)
 print("INTEGRATION OK: decode tokens identical with in-place append")
+
+# ---- 3. q8 micro ------------------------------------------------------------
+from mmmm_tpu.ops.decode_kernel import kv_append_pallas_q8
+from mmmm_tpu.ops.quant import quantize_kv
+
+b, h, smax, d = 5, 32, 64, 128
+kc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+vc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+kn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+vn = jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16)
+kq, ks = quantize_kv(kc)
+vq, vs = quantize_kv(vc)
+kqn, ksn = quantize_kv(kn)
+vqn, vsn = quantize_kv(vn)
+widx = jnp.asarray([0, 31, 32, 63, 40], jnp.int32)
+cache = {"kq": kq, "ks": ks, "vq": vq, "vs": vs}
+got = jax.jit(kv_append_pallas_q8)(cache, kqn, ksn, vqn, vsn, widx)
+ref = {
+    "kq": upd(kq, kqn, widx), "ks": upd(ks, ksn, widx),
+    "vq": upd(vq, vqn, widx), "vs": upd(vs, vsn, widx),
+}
+for key in ("kq", "ks", "vq", "vs"):
+    np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(ref[key]))
+print("Q8 MICRO OK: q8 append kernel == vmapped DUS on ragged indices")
+
+# ---- 4. q8 integration ------------------------------------------------------
+def run_q8():
+    # smax = s_prompt + max_new = 24 + 40 = 64: a multiple of 32 so the
+    # 32-slot-window kernel actually engages (odd smax silently falls back)
+    return np.asarray(
+        jax.jit(
+            lambda p: greedy_generate(
+                p, cfg, ids, tt, pos, plen, max_new_tokens=40,
+                eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+                attn_impl="auto", kv_cache_dtype="int8",
+            ).tokens
+        )(params)
+    )
+
+
+os.environ["MMMM_KV_APPEND"] = "0"
+base_q8 = run_q8()
+os.environ["MMMM_KV_APPEND"] = "1"
+fused_q8 = run_q8()
+np.testing.assert_array_equal(base_q8, fused_q8)
+print("Q8 INTEGRATION OK: int8-KV decode tokens identical with in-place append")
 print("KV APPEND VERIFY DONE")

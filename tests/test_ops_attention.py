@@ -227,12 +227,10 @@ def test_ragged_choice_defaults_and_env(monkeypatch):
 
 
 def test_kv_append_fallback_matches_dus():
-    """kv_append_pallas CPU fallback == vmapped dynamic_update_slice, and the
-    Smax%8 precondition raises (the TPU path's 8-slot window needs it; the
-    on-chip micro/integration gate is scripts/verify_kv_append.py — ran
-    2026-08-19, tokens bit-identical with MMMM_KV_APPEND=0/1)."""
-    import pytest
-
+    """kv_append_pallas CPU fallback == vmapped dynamic_update_slice (an
+    unaligned Smax takes the same fallback on TPU; the on-chip
+    micro/integration gate is scripts/verify_kv_append.py — ran 2026-08-19,
+    tokens bit-identical with MMMM_KV_APPEND=0/1)."""
     from mmmm_tpu.ops.decode_kernel import kv_append_pallas
 
     rng = np.random.default_rng(3)
@@ -248,10 +246,29 @@ def test_kv_append_fallback_matches_dus():
     gk, gv = kv_append_pallas(kc, vc, kn, vn, widx)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(upd(kc, kn, widx)))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(upd(vc, vn, widx)))
-    # the precondition check must not depend on backend: guard it directly
-    from mmmm_tpu.ops import decode_kernel as dk
 
-    if jax.default_backend() == "tpu":  # pragma: no cover - tests force CPU
-        with pytest.raises(ValueError, match="divisible by 8"):
-            kv_append_pallas(kc[:, :, :12], vc[:, :, :12], kn, vn, widx)
-    assert hasattr(dk, "_kv_append_kernel")
+
+def test_kv_append_q8_fallback_matches_dus():
+    """q8 kv_append CPU fallback (and the odd-Smax graceful fallback) ==
+    vmapped DUS on all four quantized-cache leaves. On-chip gate:
+    scripts/verify_kv_append.py sections 3-4."""
+    from mmmm_tpu.ops.decode_kernel import kv_append_pallas_q8
+    from mmmm_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(5)
+    b, h, smax, d = 3, 4, 40, 8  # 40 % 32 != 0: exercises the fallback guard
+    kq, ks = quantize_kv(jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16))
+    vq, vs = quantize_kv(jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16))
+    kqn, ksn = quantize_kv(jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16))
+    vqn, vsn = quantize_kv(jnp.asarray(rng.normal(size=(b, h, 1, d)), jnp.bfloat16))
+    widx = jnp.asarray([0, 17, 39], jnp.int32)
+    got = kv_append_pallas_q8(
+        {"kq": kq, "ks": ks, "vq": vq, "vs": vs}, kqn, ksn, vqn, vsn, widx
+    )
+    upd = jax.vmap(
+        lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+    )
+    ref = {"kq": upd(kq, kqn, widx), "ks": upd(ks, ksn, widx),
+           "vq": upd(vq, vqn, widx), "vs": upd(vs, vsn, widx)}
+    for key in ("kq", "ks", "vq", "vs"):
+        np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(ref[key]))
