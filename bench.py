@@ -56,8 +56,14 @@ PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "10"))
 # defaults to 28: the 704-slot bf16 cache is 4.6 GB there — B40 would put
 # ~6.6 GB of cache next to the 8 GB weights and OOM.
 LONG_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_LONG", "512") or 0)
-LONG_BATCH = int(os.environ.get("MMMM_BENCH_LONG_BATCH", "28")) or None
+LONG_BATCH = int(os.environ.get("MMMM_BENCH_LONG_BATCH", "16")) or None
 LONG_KV = os.environ.get("MMMM_BENCH_LONG_KV", "")
+# the long row defaults to UNCHUNKED prefill: chunked prefill pads the batch
+# up to a whole number of chunks (B28 at c12 really ran B36), and the
+# lax.map + 512-step-scan program twice hit the remote compiler's memory
+# ceiling (HTTP 500, BENCH_SWEEP_r04l.jsonl.log) — B16 single-prefill is
+# comfortably inside both walls
+LONG_CHUNK = int(os.environ.get("MMMM_BENCH_LONG_CHUNK", "0"))
 PROMPT_LEN = 192
 N_VIS = 146
 V5E_PEAK_BF16 = 197e12
@@ -399,7 +405,7 @@ def main():
         lkv = LONG_KV or KV_DTYPE
         try:
             lrun, lflops = build_run(
-                params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, PREFILL_CHUNK
+                params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, LONG_CHUNK
             )
             lrun()  # compile
             t0 = time.time()
@@ -410,10 +416,15 @@ def main():
                 "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
                 "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
             }
-            del lrun
         except Exception as e:  # noqa: BLE001 — report the failure inline
             long_row = {"error": f"{type(e).__name__}: {str(e)[:200]}",
                         "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv}
+        finally:
+            # the run closure holds the row's device inputs (~0.4 GB of
+            # ids/images at B28); on failure they must not stay alive into
+            # the next row — a leaked set OOMed the whole bench once
+            # (BENCH_SWEEP_r04l final row)
+            lrun = None  # noqa: F841
         print(f"[bench] long_decode {long_row}", file=sys.stderr, flush=True)
 
     # speculative-decoding gauge: SPEC=7 at the fused batch ceiling (the spec
@@ -423,7 +434,10 @@ def main():
     # — tests/test_speculative.py pins the structured-text value instead.
     spec_row = None
     if SPEC_ROW and SPEC == 0:
-        sb = min(BATCH, 28)
+        # 24, not the old 28: the spec path prefills UNCHUNKED, and B28 sat
+        # exactly on the unchunked transient wall — with any stray residency
+        # it OOMs (BENCH_SWEEP_r04l final row)
+        sb = min(BATCH, 24)
         try:
             srun, _ = build_run(
                 params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE, 0,
@@ -441,22 +455,30 @@ def main():
                 "verify_steps": int(st.get("iters", 0)),
                 "acceptance_caveat": "random-weight stream; see tests/test_speculative.py",
             }
-            del srun, sres
         except Exception as e:  # noqa: BLE001
             spec_row = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        finally:
+            srun = sres = None  # noqa: F841 — release device inputs (see long row)
         print(f"[bench] spec {spec_row}", file=sys.stderr, flush=True)
 
     # prefill-only gauge (separate jit of the identical prefill computation,
     # at the chunk batch when chunked prefill is on)
     pf_batch = PREFILL_CHUNK if 0 < PREFILL_CHUNK < BATCH else BATCH
     prefill_flops, _ = _matmul_flops(cfg, pf_batch, PROMPT_LEN, MAX_NEW_TOKENS, N_VIS)
-    prefill_run = build_prefill(params, cfg, pf_batch)
-    prefill_run()  # compile
-    t0 = time.time()
-    for _ in range(n_iters):
-        prefill_run()
-    prefill_dt = (time.time() - t0) / n_iters
-    prefill_mfu = prefill_flops / prefill_dt / V5E_PEAK_BF16
+    try:
+        prefill_run = build_prefill(params, cfg, pf_batch)
+        prefill_run()  # compile
+        t0 = time.time()
+        for _ in range(n_iters):
+            prefill_run()
+        prefill_dt = (time.time() - t0) / n_iters
+        prefill_mfu = prefill_flops / prefill_dt / V5E_PEAK_BF16
+    except Exception as e:  # noqa: BLE001 — the gauge must not kill the bench
+        print(f"[bench] prefill gauge failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        prefill_mfu = None
+    finally:
+        prefill_run = None  # noqa: F841
 
     input_rate = bench_input_pipeline()
 
@@ -482,7 +504,7 @@ def main():
                 "vs_baseline": round(reports_per_sec / baseline, 3),
                 "baseline_def": "self: first v2 run (BENCH_BASELINE.json)",
                 "mfu": round(mfu, 4),
-                "prefill_mfu": round(prefill_mfu, 4),
+                "prefill_mfu": round(prefill_mfu, 4) if prefill_mfu else None,
                 "input_volumes_per_sec": round(input_rate, 2),
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,

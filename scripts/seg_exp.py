@@ -69,18 +69,42 @@ def sample_patch(rng, image, masks, patch):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", choices=["unet", "sam"], required=True)
-    parser.add_argument("--data", required=True, help="processed dataset dir")
-    parser.add_argument("--classes", nargs="+", required=True)
-    parser.add_argument("--steps", type=int, default=2000)
-    parser.add_argument("--batch", type=int, default=2)
-    parser.add_argument("--patch", type=int, nargs=3, default=[32, 96, 96])
-    parser.add_argument("--lr", type=float, default=1e-3)
-    parser.add_argument("--val-frac", type=float, default=0.2)
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-c", "--config", help="YAML experiment config "
+                        "(conf/seg-exp/{unet,sam}.yaml — the reference's "
+                        "experiment constants); CLI flags override it")
+    parser.add_argument("--model", choices=["unet", "sam"])
+    parser.add_argument("--data", help="processed dataset dir")
+    parser.add_argument("--classes", nargs="+")
+    parser.add_argument("--steps", type=int)
+    parser.add_argument("--batch", type=int)
+    parser.add_argument("--patch", type=int, nargs=3)
+    parser.add_argument("--lr", type=float)
+    parser.add_argument("--weight-decay", type=float, dest="weight_decay")
+    parser.add_argument("--channels", type=int, nargs="+",
+                        help="UNet encoder channels per stage")
+    parser.add_argument("--val-frac", type=float, dest="val_frac")
+    parser.add_argument("--seed", type=int)
     parser.add_argument("--out", help="JSON results path")
-    parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument("--log-every", type=int, dest="log_every")
     args = parser.parse_args(argv)
+
+    # config supplies defaults; explicit CLI flags win (ref seg-exp configs
+    # /root/reference/conf/seg-exp/{unet,sam}.yaml are the experiment record)
+    defaults = {
+        "steps": 2000, "batch": 2, "patch": [32, 96, 96], "lr": 1e-3,
+        "weight_decay": 5e-2, "channels": [16, 32, 64, 128],
+        "val_frac": 0.2, "seed": 0, "log_every": 50,
+    }
+    if args.config:
+        from mmmm_tpu.config import load_yaml
+
+        defaults.update(load_yaml(args.config))
+    for k, v in defaults.items():
+        if getattr(args, k, None) is None:
+            setattr(args, k, v)
+    if args.model is None or args.data is None or args.classes is None:
+        parser.error("--model, --data and --classes are required "
+                     "(via flags or -c config)")
 
     import jax
     import jax.numpy as jnp
@@ -101,18 +125,26 @@ def main(argv=None):
     if args.model == "unet":
         from mmmm_tpu.models.unet import init_unet_params, unet_forward
 
-        params = init_unet_params(key, cases[0][0].shape[0], len(classes))
+        params = init_unet_params(key, cases[0][0].shape[0], len(classes),
+                                  channels=tuple(args.channels))
 
         def forward(params, image):
             return unet_forward(params, image)
     else:
         from mmmm_tpu.models.segvol import SamConfig, init_sam_params, sam_forward
 
-        cfg = SamConfig(
+        sam_kw = dict(
             in_channels=cases[0][0].shape[0], embed_dim=256,
             encoder_num_layers=6, encoder_num_heads=8,
             patch_size=(4, 16, 16), pos_embed_shape=(8, 8, 8),
         )
+        # conf/seg-exp/sam.yaml can override the head architecture (ref
+        # sam.yaml model.sam block: patch_size, pos_embed_shape, ...)
+        sam_kw.update({
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in defaults.get("sam", {}).items()
+        })
+        cfg = SamConfig(**sam_kw)
         sam_params = init_sam_params(key, cfg)
         # one learned prompt per class (stage-0 style text-embedding stand-in)
         prompts = jax.random.normal(jax.random.fold_in(key, 1),
@@ -125,7 +157,8 @@ def main(argv=None):
             masks, _ = sam_forward(params["sam"], cfg, image, cfg.patch_size, pr)
             return masks
 
-    tx = optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps))
+    tx = optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps),
+                     weight_decay=args.weight_decay)
     opt_state = tx.init(params)
 
     def loss(params, image, target):

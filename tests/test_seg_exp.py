@@ -60,3 +60,41 @@ def test_seg_exp_unet_end_to_end(tmp_path):
     assert res["model"] == "unet"
     assert "spleen" in res["dice"]
     assert 0.0 <= res["mean_dice"] <= 1.0
+
+
+def test_seg_exp_sam_config_driven(tmp_path):
+    """The -c config path: conf/seg-exp/sam.yaml supplies the experiment
+    constants (ref conf/seg-exp/sam.yaml) and CLI flags override the heavy
+    ones down to smoke size; the sam: block reshapes the head."""
+    import seg_exp
+
+    _write_dataset(tmp_path)
+    out = tmp_path / "res.json"
+    cfg = tmp_path / "sam.yaml"
+    cfg.write_text(
+        "model: sam\nlr: 1.0e-4\nweight_decay: 5.0e-2\n"
+        "sam:\n  patch_size: [4, 16, 16]\n  pos_embed_shape: [2, 2, 2]\n"
+        "  embed_dim: 32\n  encoder_num_layers: 1\n  encoder_num_heads: 2\n"
+    )
+    seg_exp.main([
+        "-c", str(cfg), "--data", str(tmp_path), "--classes", "spleen",
+        "--steps", "2", "--batch", "1", "--patch", "8", "32", "32",
+        "--out", str(out), "--log-every", "1",
+    ])
+    res = json.loads(out.read_text())
+    assert res["model"] == "sam"
+    assert 0.0 <= res["mean_dice"] <= 1.0
+
+
+def test_seg_exp_shipped_configs_parse():
+    """The shipped conf/seg-exp/*.yaml carry the reference experiment
+    constants (ref conf/seg-exp/{unet,sam}.yaml: 60k steps, batch 8,
+    lr 3e-4/1e-4, wd 5e-2)."""
+    from mmmm_tpu.config import load_yaml
+
+    unet = load_yaml("conf/seg-exp/unet.yaml")
+    assert unet["model"] == "unet" and unet["steps"] == 60000
+    assert unet["lr"] == 3e-4 and unet["batch"] == 8
+    sam = load_yaml("conf/seg-exp/sam.yaml")
+    assert sam["model"] == "sam" and sam["lr"] == 1e-4
+    assert tuple(sam["sam"]["patch_size"]) == (8, 16, 16)
