@@ -39,17 +39,23 @@ import numpy as np
 BASELINE_PATH = Path(__file__).parent / "BENCH_BASELINE.json"
 METRIC_VERSION = 2  # v2: 7B-class grounded path (round 2); v1: 1.4B lang-only
 MAX_NEW_TOKENS = int(os.environ.get("MMMM_BENCH_NEWTOK", "128"))
-# B40 with single-program chunked prefill (lax.map over chunk-10 sub-batches
-# + full-batch decode scan, inference._chunked_generate_stage) is the r04
-# measured sweet spot: 13.50 rep/s vs 13.24 at B36-c12 and 12.29 at B28
-# fused (BENCH_SWEEP_r04c). The earlier three-program chunked path lost its
-# gains to per-chunk relay dispatches and donation hazards; int8 KV at
-# B48–56 still loses (9.7–9.9 rep/s — the q8 kernel's int8 retile holds it
-# at 0.27–0.34 bw-util vs bf16's 0.92 at EVERY cast/block variant,
-# PROBE_LONGCTX_r04b). Override with MMMM_BENCH_BATCH /
-# MMMM_BENCH_PREFILL_CHUNK (0 = fused single-program prefill).
-BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "40"))
-PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "10"))
+# B48 chunk-12 with the in-place KV-append kernel and decode-scan unroll=2
+# is the r04 measured optimum: 17.38 rep/s (BENCH_SWEEP_r04{l,n}) vs 16.93
+# plain b48, 16.60 b44, 13.755 pre-append control; b52 device-OOMs (the
+# per-step cache copy the append kernel removed WAS the old B44 wall).
+# Ragged decode still loses at serving lengths (16.44); int8 KV at B48–56
+# still loses (9.7–9.9 rep/s — the q8 retile holds it at 0.27–0.34 bw-util
+# vs bf16's 0.92, PROBE_LONGCTX_r04b). Single-program chunked prefill
+# (lax.map sub-batches + full-batch decode scan) replaced the three-program
+# design whose per-chunk dispatches and donation hazards ate its gains.
+# Override with MMMM_BENCH_BATCH / MMMM_BENCH_PREFILL_CHUNK (0 = fused
+# single-program prefill).
+BATCH = int(os.environ.get("MMMM_BENCH_BATCH", "48"))
+PREFILL_CHUNK = int(os.environ.get("MMMM_BENCH_PREFILL_CHUNK", "12"))
+# unroll=2 on the decode scan is worth ~+2.6% at B48 (token-identical; the
+# library default stays 1 — this pins the BENCH config only, and the long
+# row below resets it to 1 for its 512-step scan)
+os.environ.setdefault("MMMM_DECODE_UNROLL", "2")
 # Second bench row: long decode at the reference demo length (512 new tokens,
 # /root/reference/scripts/demo.py:46), where the KV stream quadruples.
 # MMMM_BENCH_LONG=0 skips it; kv defaults to the headline row's. Batch
@@ -403,6 +409,13 @@ def main():
     if LONG_NEW_TOKENS:
         lb = LONG_BATCH or BATCH
         lkv = LONG_KV or KV_DTYPE
+        # the 512-step scan compiles its own program: keep it at unroll=1
+        # (the headline's unroll=2 doubles the scan body for no measured
+        # long-row gain and feeds the remote-compiler memory ceiling)
+        unroll_prev = os.environ.get("MMMM_DECODE_UNROLL")
+        os.environ["MMMM_DECODE_UNROLL"] = os.environ.get(
+            "MMMM_BENCH_LONG_UNROLL", "1"
+        )
         try:
             lrun, lflops = build_run(
                 params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, LONG_CHUNK
@@ -425,6 +438,10 @@ def main():
             # the next row — a leaked set OOMed the whole bench once
             # (BENCH_SWEEP_r04l final row)
             lrun = None  # noqa: F841
+            if unroll_prev is None:
+                os.environ.pop("MMMM_DECODE_UNROLL", None)
+            else:
+                os.environ["MMMM_DECODE_UNROLL"] = unroll_prev
         print(f"[bench] long_decode {long_row}", file=sys.stderr, flush=True)
 
     # speculative-decoding gauge: SPEC=7 at the fused batch ceiling (the spec
