@@ -380,11 +380,15 @@ def probe_stages(out, only: str | None = None):
         return dt
 
     params, cfg, tokenizer = bench.build_params()
-    run, flops = bench.build_run(
-        params, cfg, tokenizer, bench.BATCH, bench.MAX_NEW_TOKENS,
-        bench.KV_DTYPE, bench.PREFILL_CHUNK,
-    )
     b = bench.BATCH
+    # build the full end-to-end program ONLY when measuring it: at B48 the
+    # compiled generate program + any second stage together RESOURCE_EXHAUST
+    # the chip (queue-N probes: vit/sam died holding both, prefill survived)
+    if only in (None, "end_to_end"):
+        run, flops = bench.build_run(
+            params, cfg, tokenizer, b, bench.MAX_NEW_TOKENS,
+            bench.KV_DTYPE, bench.PREFILL_CHUNK,
+        )
 
     if only in (None, "vit"):
         from mmmm_tpu.models.cogvlm.vit import vit_forward
