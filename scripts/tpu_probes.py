@@ -431,6 +431,97 @@ def probe_stages(out, only: str | None = None):
         timed("end_to_end", run)
 
 
+def probe_prefill_bisect(out):
+    """Attribute the prefill wall clock (1256 ms at B48 = 46% of the serving
+    batch, PROBE_STAGES_r04n) by timing ``bench.build_prefill``'s program
+    with one component ablated per variant. Ablations are trace-time
+    monkeypatches of the names build_prefill resolves via its call-time
+    imports; every replacement keeps a data dependency on the real inputs so
+    XLA cannot DCE the surviving components.
+
+      full        unmodified prefill (ViT + LLM + first logits)
+      nogelu      ViT gelu -> identity (fitted-poly VPU cost, 24 fc1 passes)
+      novitattn   ViT segment_attention -> q passthrough (D=88 dense kernel)
+      nopatch     variable-z patch embed -> broadcast (im2col conv cost)
+      novit       whole ViT -> broadcast (leaves LLM + head + embed)
+      nollmattn   LLM segment_attention -> q passthrough (S=192 causal flash)
+      nollm       whole llm_forward -> broadcast (leaves ViT + head)
+
+    Component cost = ms(full) - ms(variant); overlapping savings mean parts
+    need not sum to the total. Analytic matmul floor at B48: ViT ~384 ms,
+    LLM ~267 ms (bench._matmul_flops / 197 TFLOP/s)."""
+    import os
+
+    import jax.numpy as jnp
+
+    import bench
+    from mmmm_tpu.models.cogvlm import decoder as dec_mod
+    from mmmm_tpu.models.cogvlm import vit as vit_mod
+
+    b = int(os.environ.get("MMMM_PROBE_B", str(bench.BATCH)))
+    params, cfg, _ = bench.build_params()
+    h_llm = cfg.vlm.hidden_size
+
+    def keepdep_attn(q, k, v, seg, **kw):
+        # passthrough that still consumes k/v so the fused qkv matmul is not
+        # narrowed to its q third at compile time
+        dep = (jnp.sum(k, axis=-1, keepdims=True)
+               + jnp.sum(v, axis=-1, keepdims=True)).astype(jnp.float32)
+        return (q.astype(jnp.float32) + dep * 1e-30).astype(q.dtype)
+
+    def cheap_patch(im, w, bias, patch_size):
+        gd, gh, gw = (im.shape[2] // patch_size[0], im.shape[3] // patch_size[1],
+                      im.shape[4] // patch_size[2])
+        dep = (jnp.sum(im.astype(jnp.float32)) * 1e-12
+               + jnp.sum(w.astype(jnp.float32)) * 1e-12)
+        return jnp.full((im.shape[0], w.shape[0], gd, gh, gw), 0.01,
+                        jnp.bfloat16) + dep.astype(jnp.bfloat16)
+
+    def cheap_vit(p, c, im, patch_size, pool_size, **kw):
+        dep = jnp.sum(im.astype(jnp.float32)) * 1e-12
+        return jnp.full((im.shape[0], bench.N_VIS, h_llm), 0.01,
+                        jnp.bfloat16) + dep.astype(jnp.bfloat16)
+
+    def cheap_llm(p, c, emb, *a, **kw):
+        dep = jnp.sum(emb.astype(jnp.float32), axis=-1, keepdims=True)
+        return jnp.broadcast_to(dep * 1e-3, emb.shape).astype(emb.dtype)
+
+    variants = [
+        ("full", []),
+        ("nogelu", [(vit_mod, "_gelu", lambda x: x)]),
+        ("novitattn", [(vit_mod, "segment_attention", keepdep_attn)]),
+        ("nopatch", [(vit_mod, "variable_patch_embed_3d", cheap_patch)]),
+        ("novit", [(vit_mod, "vit_forward", cheap_vit)]),
+        ("nollmattn", [(dec_mod, "segment_attention", keepdep_attn)]),
+        ("nollm", [(dec_mod, "llm_forward", cheap_llm)]),
+    ]
+    only = os.environ.get("MMMM_PROBE_VARIANT")
+    for name, patches in variants:
+        if only and name != only:
+            continue
+        saved = [(mod, attr, getattr(mod, attr)) for mod, attr, _ in patches]
+        for mod, attr, repl in patches:
+            setattr(mod, attr, repl)
+        try:
+            # build_prefill imports vit_forward/llm_forward at call time, so
+            # the patches above are what its jitted program traces
+            run = bench.build_prefill(params, cfg, b)
+            run()  # compile + warm
+        finally:
+            for mod, attr, orig in saved:
+                setattr(mod, attr, orig)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        rec = {"probe": "prefill_bisect", "variant": name, "batch": b,
+               "ms": round(best * 1e3, 1)}
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+        run = None  # release the row's device inputs before the next build
+
+
 def probe_decode_bisect(out):
     """Attribute the decode-step wall clock (measured ~11 ms vs ~6.5 ms
     analytic at the serving config) by timing the REAL greedy decode scan
@@ -539,7 +630,7 @@ def probe_decode_bisect(out):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot",
-                                      "decodebisect"])
+                                      "decodebisect", "prefillbisect"])
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
@@ -552,6 +643,8 @@ def main(argv=None):
         probe_qdot(out)
     elif args.probe == "decodebisect":
         probe_decode_bisect(out)
+    elif args.probe == "prefillbisect":
+        probe_prefill_bisect(out)
     else:
         probe_longctx(out)
     return out
