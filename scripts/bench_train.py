@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--vis", type=int, default=146)
+    ap.add_argument("--config", default="1.4b", choices=["1.4b", "6.5b"],
+                    help="6.5b = the serving-bench flagship shape (13 GB bf16 "
+                    "frozen base; LoRA state + remat'd activations must fit "
+                    "the remaining ~3 GB — start at --batch 2)")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,17 +46,24 @@ def main(argv=None):
     from mmmm_tpu.peft import LoraConfig
     from mmmm_tpu.train import OptimizerConfig, init_train_state, make_optimizer, make_train_step
 
-    cfg = MMMMConfig(
-        vlm=CogVLMConfig(
-            vocab_size=32008, hidden_size=2048, intermediate_size=5504,
-            num_hidden_layers=12, num_attention_heads=16,
-            vision=VisionConfig(
-                hidden_size=1024, intermediate_size=4096, num_hidden_layers=12,
-                num_heads=16, patch_size=(16, 16, 16), pos_embed_shape=(8, 32, 32),
+    if args.config == "6.5b":
+        # the serving flagship shape (bench._bench_cfg) so the train gauge
+        # exists at the same scale as the headline serving number
+        import bench
+
+        cfg = bench._bench_cfg()
+    else:
+        cfg = MMMMConfig(
+            vlm=CogVLMConfig(
+                vocab_size=32008, hidden_size=2048, intermediate_size=5504,
+                num_hidden_layers=12, num_attention_heads=16,
+                vision=VisionConfig(
+                    hidden_size=1024, intermediate_size=4096, num_hidden_layers=12,
+                    num_heads=16, patch_size=(16, 16, 16), pos_embed_shape=(8, 32, 32),
+                ),
             ),
-        ),
-        sam=SamConfig(),
-    )
+            sam=SamConfig(),
+        )
     model = MMMMModel(cfg)
     opt = make_optimizer(OptimizerConfig(lr=5e-5, warmup_steps=10, max_steps=1000))
     lcfg = LoraConfig(r=64, alpha=8)
@@ -106,7 +117,7 @@ def main(argv=None):
     flops = 3 * fwd
     tok_s = b * s / dt
     print(json.dumps({
-        "metric": "train_tokens_per_sec_1.4b",
+        "metric": f"train_tokens_per_sec_{args.config}",
         "value": round(tok_s, 1),
         "unit": "tokens/sec/chip",
         "step_ms": round(dt * 1e3, 1),
