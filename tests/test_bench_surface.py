@@ -37,6 +37,38 @@ def test_probe_scripts_reference_existing_bench_names():
             assert hasattr(bench, name), f"{script} references bench.{name}"
 
 
+def test_probe_monkeypatch_targets_exist():
+    """The bisect probes ablate components by setattr on module-level names
+    resolved at trace time (probe_decode_bisect, probe_prefill_bisect); a
+    rename in the model/ops modules would make a patch silently do nothing
+    and the probe would report 'no cost' for a component that still runs."""
+    import mmmm_tpu.models.cogvlm.decoder as dec_mod
+    import mmmm_tpu.models.cogvlm.vit as vit_mod
+    import mmmm_tpu.models.generate as gen_mod
+    import mmmm_tpu.ops.decode_kernel as dk_mod
+
+    # probe_prefill_bisect
+    for mod, attr in [
+        (vit_mod, "_gelu"),
+        (vit_mod, "segment_attention"),
+        (vit_mod, "variable_patch_embed_3d"),
+        (vit_mod, "vit_forward"),
+        (dec_mod, "segment_attention"),
+        (dec_mod, "llm_forward"),
+    ]:
+        assert hasattr(mod, attr), f"{mod.__name__}.{attr} (prefill bisect)"
+    # probe_decode_bisect
+    for mod, attr in [
+        (dk_mod, "decode_attention_pallas"),
+        (dec_mod, "decode_attention_bhsd"),
+        (dec_mod, "qdot"),
+        (gen_mod, "qdot"),
+        (dec_mod, "rms_norm"),
+        (dec_mod, "apply_rope"),
+    ]:
+        assert hasattr(mod, attr), f"{mod.__name__}.{attr} (decode bisect)"
+
+
 def test_bench_builder_signatures_bind():
     import bench
 
