@@ -52,6 +52,7 @@ def prefill_decode_state(
     attn_impl: str = "auto",
     vis_span: tuple[int, int] | None = None,
     kv_cache_dtype: str = "bf16",
+    vis_embeds: jnp.ndarray | None = None,
 ):
     """Prefill the multimodal prompt and build the initial decode-loop state.
 
@@ -59,13 +60,21 @@ def prefill_decode_state(
     (``models/speculate.py``). Returns ``(state, prefill_hidden, last_hidden)``
     where ``state`` carries the per-layer caches sized to ``smax`` slots, the
     first generated token, and the <p>-freeze position bookkeeping.
+
+    ``vis_embeds`` short-circuits the ViT: already-encoded vision tokens
+    (B, T_vis, C_llm) are spliced instead of running ``vit_forward`` — used by
+    the ViT-only chunked-prefill mode, which bounds the ViT transients with a
+    batch-chunked ``lax.map`` but runs the LLM prefill once at the full batch
+    (one W8A16 dequant pass instead of one per chunk).
     """
     b, s_prompt = input_ids.shape
     segments = (jnp.arange(s_prompt)[None, :] < prompt_len[:, None]).astype(jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
     emb = params["llm"]["embed_tokens"][input_ids]
-    if image is not None:
+    if vis_embeds is not None:
+        emb = splice_vision_embeds(emb, vis_embeds)
+    elif image is not None:
         vis = vit_forward(params["vision"], cfg, image, patch_size, pool_size, attn_impl=attn_impl)
         emb = splice_vision_embeds(emb, vis)
     # per-layer (B, H, Smax, D) cache pairs: decode-friendly layout; the

@@ -45,6 +45,7 @@ def _generate_stage(
     w8a8: bool = False,
     decode_unroll: int = 1,
     kv_append: bool = True,
+    chunk_mode: str = "all",
 ):
     """Jitted first stage: the full prefill + decode scan.
 
@@ -102,7 +103,7 @@ def _generate_stage(
         return _chunked_generate_stage(
             cfg, max_new_tokens, eos_token_id, bop_token_id, eop_token_id,
             patch_size, pool_size, attn_impl, has_image, vis_span,
-            kv_cache_dtype, prefill_chunk,
+            kv_cache_dtype, prefill_chunk, chunk_mode,
         )
 
     jitted = jax.jit(stage)
@@ -131,6 +132,7 @@ def _chunked_generate_stage(
     vis_span,
     kv_cache_dtype: str,
     chunk: int,
+    chunk_mode: str = "all",
 ):
     """Chunked-prefill generate: see ``_generate_stage(prefill_chunk=...)``.
 
@@ -142,7 +144,16 @@ def _chunked_generate_stage(
     (in-program, XLA's copy-insertion aliases the map outputs into the scan
     carry). An earlier three-program version (separate prefill/insert/decode
     jits with explicit donation) measured 0.2–0.7 s/batch of pure dispatch
-    overhead at B40–56; this supersedes it."""
+    overhead at B40–56; this supersedes it.
+
+    ``chunk_mode="vit"`` (MMMM_PREFILL_CHUNK_MODE): only the ViT runs under
+    the chunked ``lax.map`` — the transients that set the batch ceiling are
+    the ViT/patch-embed ones (ROADMAP round 3) — while the LLM prefill runs
+    ONCE at the full batch, so the W8A16 weight dequant traffic (int8 read +
+    bf16 materialize per matmul, ~16 GB per pass over the 3.3 GB expert
+    weights) is paid once instead of once per chunk. Token-identical to
+    "all": chunking is batch-parallel either way."""
+    from .cogvlm.vit import vit_forward
     from .generate import GenerateResult, greedy_decode_from_state, prefill_decode_state
 
     def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
@@ -158,6 +169,32 @@ def _chunked_generate_stage(
             )
 
         resh = lambda x: x.reshape((nchunk, chunk) + x.shape[1:])
+
+        if chunk_mode == "vit" and has_image:
+            vis = jax.lax.map(
+                lambda im: vit_forward(
+                    params["cogvlm"]["vision"], cfg.vlm, im, patch_size,
+                    pool_size, attn_impl=attn_impl,
+                ),
+                resh(padb(image)),
+            )
+            vis = vis.reshape((bp,) + vis.shape[2:])[:b]
+            state, hidden, last_hidden = prefill_decode_state(
+                params["cogvlm"], cfg.vlm, input_ids, token_type_ids,
+                position_ids, prompt_len, smax=s + max_new_tokens,
+                eos_token_id=eos_token_id, vis_embeds=vis,
+                attn_impl=attn_impl, vis_span=vis_span,
+                kv_cache_dtype=kv_cache_dtype,
+            )
+            res = greedy_decode_from_state(
+                params["cogvlm"], cfg.vlm, state, hidden, last_hidden,
+                max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+                bop_token_id=bop_token_id, eop_token_id=eop_token_id,
+                attn_impl=attn_impl,
+            )
+            return (res.tokens, res.hidden, res.prefill_hidden,
+                    res.num_generated)
+
         xs = [
             resh(padb(input_ids)), resh(padb(token_type_ids)),
             resh(padb(position_ids)),
@@ -303,6 +340,7 @@ def generate_grounded(
         os.environ.get("MMMM_W8A8", "0") == "1",
         int(os.environ.get("MMMM_DECODE_UNROLL", "1")),
         os.environ.get("MMMM_KV_APPEND", "1") == "1",
+        os.environ.get("MMMM_PREFILL_CHUNK_MODE", "all"),
     )
     res, spec_stats = gen(
         params, input_ids, token_type_ids, position_ids, prompt_len, image

@@ -276,6 +276,46 @@ def test_chunked_prefill_matches_fused():
         )
 
 
+def test_chunked_prefill_vit_mode_matches_fused(monkeypatch):
+    """MMMM_PREFILL_CHUNK_MODE=vit (chunk only the ViT under lax.map, run the
+    LLM prefill once at full batch — one W8A16 dequant pass per batch instead
+    of one per chunk) is token- and mask-identical to the fused path,
+    including an uneven tail chunk."""
+    import numpy as _np
+
+    from mmmm_tpu.models.inference import generate_grounded
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    patch, pool = (4, 4, 4), (1, 1, 1)
+    reqs = _grounded_reqs(5)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    pad = lambda k: _np.stack([
+        _np.pad(r[k], (0, smax - len(r[k]))) for r in reqs
+    ])
+    args = (
+        params, cfg, tok,
+        jnp.asarray(pad("input_ids")), jnp.asarray(pad("token_type_ids")),
+        jnp.asarray(pad("position_ids")),
+        jnp.asarray([len(r["input_ids"]) for r in reqs]),
+        jnp.asarray(_np.stack([r["image"] for r in reqs])), patch, pool,
+    )
+    kw = dict(
+        max_new_tokens=6, max_targets=2,
+        grounding_image=jnp.asarray(_np.stack([r["grounding_image"] for r in reqs])),
+        force_grounding=True, vis_span=(1, 1 + N_VIS), attn_impl="xla",
+    )
+    ref = generate_grounded(*args, **kw)
+    monkeypatch.setenv("MMMM_PREFILL_CHUNK_MODE", "vit")
+    got = generate_grounded(*args, **kw, prefill_chunk=2)
+    _np.testing.assert_array_equal(got.tokens, ref.tokens)
+    assert got.text == ref.text
+    _np.testing.assert_allclose(
+        _np.asarray(got.masks), _np.asarray(ref.masks), atol=2e-4
+    )
+
+
 def test_chunked_prefill_int8_kv_matches_fused():
     """Chunked prefill composes with the int8 KV cache (the capacity option
     that enables the largest decode batches): identical tokens vs the fused
