@@ -240,7 +240,8 @@ def _chunked_generate_stage(
 
 @functools.lru_cache(maxsize=8)
 def _grounding_stage(
-    cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str, chunk: int = 0
+    cfg: MMMMConfig, patch_size, instance: bool, attn_impl: str, chunk: int = 0,
+    sam_bf16: bool = False,
 ):
     """Jitted second stage: hidden-state gather -> vg_proj -> SAM head.
 
@@ -252,21 +253,37 @@ def _grounding_stage(
     ``chunk > 0`` sequences the SAM pass over batch sub-chunks with
     ``lax.map`` INSIDE the one program (the encoder's fp32 transients scale
     with batch like the ViT's; chunking bounds them without per-chunk
-    dispatches)."""
+    dispatches).
+
+    ``sam_bf16`` (MMMM_SAM_BF16=1, serving-only knob, default off): run the
+    SAM head in bf16 instead of the reference's fp32 grounding policy
+    (``MyPrecision``, ref mmmm.py:468-492 — a TRAINING-stability policy).
+    fp32 matmuls take the slow MXU path (~4x bf16 peak), and at serving time
+    the masks are thresholded sigmoids, so bf16 rounding of the logits is
+    far below the decision noise floor. vg_proj stays fp32 (its output is
+    cast); the fp32 path remains the default for parity."""
 
     def one(params, hidden, positions, g_image):
         gathered = jnp.take_along_axis(
             hidden.astype(jnp.float32), positions[..., None], axis=1
         )
         prompts = vg_project(params, gathered)  # (B, N, prompt_dim)
-        g_image = g_image.astype(jnp.float32)
+        cdt = jnp.bfloat16 if sam_bf16 else jnp.float32
+        g_image = g_image.astype(cdt)
+        prompts = prompts.astype(cdt)
+        head = params["isam" if instance else "sam"]
+        if sam_bf16:
+            head = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, head
+            )
         if instance:
             o = instance_sam_forward(
-                params["isam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
+                head, cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
             )
-            return o.boxes[:, :, 1:], o.disc_logit
+            return o.boxes[:, :, 1:].astype(jnp.float32), o.disc_logit.astype(jnp.float32)
         masks, _ = sam_forward(
-            params["sam"], cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
+            head, cfg.sam, g_image, patch_size, prompts, attn_impl=attn_impl
         )
         return masks
 
@@ -382,7 +399,8 @@ def generate_grounded(
     # chunk the SAM pass with the prefill: its encoder transients scale with
     # batch the same way the ViT's do (in-program lax.map — no dispatch tax)
     stage = _grounding_stage(
-        cfg, tuple(patch_size), instance, attn_impl, prefill_chunk
+        cfg, tuple(patch_size), instance, attn_impl, prefill_chunk,
+        os.environ.get("MMMM_SAM_BF16", "0") == "1",
     )
     o = stage(params, res.hidden, jnp.asarray(positions), grounding_image)
     if instance:

@@ -316,6 +316,43 @@ def test_chunked_prefill_vit_mode_matches_fused(monkeypatch):
     )
 
 
+def test_sam_bf16_serving_knob(monkeypatch):
+    """MMMM_SAM_BF16=1 (serving-only: run the SAM head in bf16 instead of the
+    reference's fp32 training policy) leaves tokens untouched and moves mask
+    SIGMOIDS by less than the decision noise floor."""
+    import numpy as _np
+
+    from mmmm_tpu.models.inference import generate_grounded
+
+    tok = MMMMTokenizer.byte_fallback()
+    cfg = MMMMConfig.tiny(vocab_size=len(tok))
+    params = MMMMModel(cfg).init(jax.random.PRNGKey(0))
+    patch, pool = (4, 4, 4), (1, 1, 1)
+    reqs = _grounded_reqs(2)
+    smax = max(len(r["input_ids"]) for r in reqs)
+    pad = lambda k: _np.stack([
+        _np.pad(r[k], (0, smax - len(r[k]))) for r in reqs
+    ])
+    args = (
+        params, cfg, tok,
+        jnp.asarray(pad("input_ids")), jnp.asarray(pad("token_type_ids")),
+        jnp.asarray(pad("position_ids")),
+        jnp.asarray([len(r["input_ids"]) for r in reqs]),
+        jnp.asarray(_np.stack([r["image"] for r in reqs])), patch, pool,
+    )
+    kw = dict(
+        max_new_tokens=4, max_targets=2,
+        grounding_image=jnp.asarray(_np.stack([r["grounding_image"] for r in reqs])),
+        force_grounding=True, vis_span=(1, 1 + N_VIS), attn_impl="xla",
+    )
+    ref = generate_grounded(*args, **kw)
+    monkeypatch.setenv("MMMM_SAM_BF16", "1")
+    got = generate_grounded(*args, **kw)
+    _np.testing.assert_array_equal(got.tokens, ref.tokens)  # generation untouched
+    sig = lambda x: 1 / (1 + _np.exp(-_np.asarray(x, _np.float32)))
+    assert _np.max(_np.abs(sig(got.masks) - sig(ref.masks))) < 0.05
+
+
 def test_chunked_prefill_int8_kv_matches_fused():
     """Chunked prefill composes with the int8 KV cache (the capacity option
     that enables the largest decode batches): identical tokens vs the fused
