@@ -12,6 +12,10 @@ while ! grep -q "QUEUE O DONE" /root/repo/BENCH_SWEEP_r04o.jsonl 2>/dev/null; do
 while [ -f /tmp/suite_running ]; do sleep 60; done
 OUT=/root/repo/PROBE_PREFILL_r04.jsonl
 
+# 0. re-run the 512-token bisect (its first queue-O slot died at backend
+#    init during a transient relay outage; it now waits the outage out)
+python scripts/probe_long512.py >> /root/repo/BENCH_SWEEP_r04o.jsonl.log 2>&1
+
 # 1. complete the B48 serving stage table (one stage per process: two
 #    resident compiled 6.5B programs RESOURCE_EXHAUST the chip)
 for s in vit sam; do

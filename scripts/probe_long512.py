@@ -29,6 +29,9 @@ def main():
 
     import bench
 
+    # the relay has transient outages; a probe that dies at backend init
+    # wastes its whole queue slot (this happened to the first launch)
+    bench._wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
     params, cfg, tokenizer = bench.build_params()
     attempts = [
         ("b16-unroll1-append", dict(B=16, UNROLL="1", APPEND="1", RAGGED="0")),

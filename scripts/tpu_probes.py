@@ -634,6 +634,10 @@ def main(argv=None):
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
+    import bench
+
+    # ride out transient relay outages instead of dying at backend init
+    bench._wait_for_backend(1800.0)
     out = []
     if args.probe == "ragged":
         probe_ragged(out)
