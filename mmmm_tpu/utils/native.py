@@ -21,7 +21,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    _src = _NATIVE_DIR / "mmmm_native.cpp"
+    if not _LIB_PATH.exists() or (
+        _src.exists() and _src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    ):
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.mmmm_zstd_decompress.restype = ctypes.c_longlong

@@ -68,62 +68,67 @@ long long mmmm_zstd_compress(const void* src, size_t src_size, void* dst,
 void mmmm_resize_trilinear_u8f32(const uint8_t* src, int64_t C, int64_t D,
                                  int64_t H, int64_t W, float* dst, int64_t d,
                                  int64_t h, int64_t w) {
-  const float sd = (float)D / d, sh = (float)H / h, sw = (float)W / w;
-  std::vector<int64_t> z0(d), z1(d);
-  std::vector<float> zf(d);
-  for (int64_t i = 0; i < d; ++i) {
-    float p = (i + 0.5f) * sd - 0.5f;
-    if (p < 0) p = 0;
-    if (p > D - 1) p = (float)(D - 1);
-    z0[i] = (int64_t)p;
-    z1[i] = z0[i] + 1 < D ? z0[i] + 1 : D - 1;
-    zf[i] = p - z0[i];
-  }
-  std::vector<int64_t> y0(h), y1(h);
-  std::vector<float> yf(h);
-  for (int64_t i = 0; i < h; ++i) {
-    float p = (i + 0.5f) * sh - 0.5f;
-    if (p < 0) p = 0;
-    if (p > H - 1) p = (float)(H - 1);
-    y0[i] = (int64_t)p;
-    y1[i] = y0[i] + 1 < H ? y0[i] + 1 : H - 1;
-    yf[i] = p - y0[i];
-  }
-  std::vector<int64_t> x0(w), x1(w);
-  std::vector<float> xf(w);
-  for (int64_t i = 0; i < w; ++i) {
-    float p = (i + 0.5f) * sw - 0.5f;
-    if (p < 0) p = 0;
-    if (p > W - 1) p = (float)(W - 1);
-    x0[i] = (int64_t)p;
-    x1[i] = x0[i] + 1 < W ? x0[i] + 1 : W - 1;
-    xf[i] = p - x0[i];
-  }
+  // Linear interpolation is exactly separable, so trilinear runs as three
+  // 1-D passes (z, then y, then x). vs the direct 8-gather form this does
+  // ~2x fewer multiply-adds AND the z/y passes are contiguous streams the
+  // compiler auto-vectorizes (the 8 per-voxel u8 gathers blocked SIMD
+  // entirely) — measured ~3x on the bench volume (48,420,420)->(32,384,384)
+  // on the 1-core host. Same half-pixel-center taps; results differ from
+  // the direct form only by fp32 reassociation (well under the 2e-3 test
+  // tolerance against torch/jax).
+  auto taps = [](int64_t n_src, int64_t n_dst, std::vector<int64_t>& i0,
+                 std::vector<int64_t>& i1, std::vector<float>& f) {
+    const float s = (float)n_src / n_dst;
+    i0.resize(n_dst);
+    i1.resize(n_dst);
+    f.resize(n_dst);
+    for (int64_t i = 0; i < n_dst; ++i) {
+      float p = (i + 0.5f) * s - 0.5f;
+      if (p < 0) p = 0;
+      if (p > n_src - 1) p = (float)(n_src - 1);
+      i0[i] = (int64_t)p;
+      i1[i] = i0[i] + 1 < n_src ? i0[i] + 1 : n_src - 1;
+      f[i] = p - i0[i];
+    }
+  };
+  std::vector<int64_t> z0, z1, y0, y1, x0, x1;
+  std::vector<float> zf, yf, xf;
+  taps(D, d, z0, z1, zf);
+  taps(H, h, y0, y1, yf);
+  taps(W, w, x0, x1, xf);
+  // Per-output-z slabs, NOT whole-volume intermediates: a full (d, H, W)
+  // f32 z-pass buffer is ~23 MB of round-trip DRAM traffic on the bench
+  // volume, which measured SLOWER than the direct 8-gather form on the
+  // 1-core host. One (H, W) + one (h, W) slab (~1.3 MB) stay in L2.
+  std::vector<float> zs((size_t)(H * W));
+  std::vector<float> ys((size_t)(h * W));
   const float inv255 = 1.0f / 255.0f;
   for (int64_t c = 0; c < C; ++c) {
     const uint8_t* sc = src + c * D * H * W;
     float* dc = dst + c * d * h * w;
     for (int64_t z = 0; z < d; ++z) {
+      // z pass (u8 -> f32 [0,1]): one output slice, contiguous streams
       const uint8_t* s0 = sc + z0[z] * H * W;
       const uint8_t* s1 = sc + z1[z] * H * W;
       const float fz = zf[z];
+      for (int64_t i = 0; i < H * W; ++i) {
+        const float a = s0[i];
+        zs[i] = (a + fz * ((float)s1[i] - a)) * inv255;
+      }
+      // y pass: two contiguous rows per output row
       for (int64_t y = 0; y < h; ++y) {
-        const uint8_t* r00 = s0 + y0[y] * W;
-        const uint8_t* r01 = s0 + y1[y] * W;
-        const uint8_t* r10 = s1 + y0[y] * W;
-        const uint8_t* r11 = s1 + y1[y] * W;
+        const float* r0 = zs.data() + y0[y] * W;
+        const float* r1 = zs.data() + y1[y] * W;
         const float fy = yf[y];
-        float* out = dc + (z * h + y) * w;
-        for (int64_t x = 0; x < w; ++x) {
-          const float fx = xf[x];
-          const float a00 = r00[x0[x]] + fx * (r00[x1[x]] - r00[x0[x]]);
-          const float a01 = r01[x0[x]] + fx * (r01[x1[x]] - r01[x0[x]]);
-          const float a10 = r10[x0[x]] + fx * (r10[x1[x]] - r10[x0[x]]);
-          const float a11 = r11[x0[x]] + fx * (r11[x1[x]] - r11[x0[x]]);
-          const float a0 = a00 + fy * (a01 - a00);
-          const float a1 = a10 + fy * (a11 - a10);
-          out[x] = (a0 + fz * (a1 - a0)) * inv255;
-        }
+        float* o = ys.data() + y * W;
+        for (int64_t i = 0; i < W; ++i) o[i] = r0[i] + fy * (r1[i] - r0[i]);
+      }
+      // x pass: the only gathering pass, rows already in cache
+      for (int64_t y = 0; y < h; ++y) {
+        const float* row = ys.data() + y * W;
+        float* o = dc + (z * h + y) * w;
+        for (int64_t x = 0; x < w; ++x)
+          o[x] = row[x0[x]] + xf[x] * (row[x1[x]] - row[x0[x]]);
       }
     }
   }
