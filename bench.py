@@ -451,14 +451,13 @@ def main():
     # — tests/test_speculative.py pins the structured-text value instead.
     spec_row = None
     if SPEC_ROW and SPEC == 0:
-        # 24, not the old 28: the spec path prefills UNCHUNKED, and B28 sat
-        # exactly on the unchunked transient wall — with any stray residency
-        # it OOMs (BENCH_SWEEP_r04l final row)
-        sb = min(BATCH, 24)
+        # the spec path now prefills CHUNKED too (it was capped at B24 by the
+        # unchunked transient wall); run it at the headline batch/chunk
+        sb = BATCH
         try:
             srun, _ = build_run(
-                params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE, 0,
-                spec=SPEC_ROW,
+                params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
+                PREFILL_CHUNK, spec=SPEC_ROW,
             )
             sres = srun()  # compile
             t0 = time.time()

@@ -107,6 +107,98 @@ def prefill_decode_state(
     return state, hidden, last_hidden
 
 
+def chunked_prefill_decode_state(
+    params: dict,
+    cfg: CogVLMConfig,
+    input_ids: jnp.ndarray,
+    token_type_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    *,
+    chunk: int,
+    chunk_mode: str = "all",
+    slice_to_batch: bool = False,
+    image: jnp.ndarray | None = None,
+    patch_size=None,
+    pool_size=None,
+    attn_impl: str = "auto",
+    **kw,
+):
+    """``prefill_decode_state`` with the prefill sequenced over batch
+    sub-chunks via an in-program ``lax.map`` (one chunk's ViT/patch-embed
+    transients live at a time; the stacked map outputs are the full-batch
+    caches). Token-identical to the fused form — prefill is batch-parallel.
+
+    ``chunk_mode="vit"``: only the ViT runs chunked; the LLM prefill runs
+    once at the full (true) batch — one W8A16 dequant pass per batch instead
+    of per chunk, and nothing downstream sees the chunk-padded batch.
+
+    ``slice_to_batch``: in "all" mode the map output is padded to a whole
+    number of chunks; True slices state/hidden back to the true batch (one
+    cache-sized copy when padding occurred), False returns the padded batch
+    and leaves slicing to the caller (the serving path decodes at the padded
+    batch and slices outputs — established behavior, see CLAUDE.md gotcha)."""
+    b, s = input_ids.shape
+    if chunk <= 0 or chunk >= b:
+        return prefill_decode_state(
+            params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
+            image=image, patch_size=patch_size, pool_size=pool_size,
+            attn_impl=attn_impl, **kw,
+        )
+    bp = -(-b // chunk) * chunk
+    nchunk = bp // chunk
+
+    def padb(x, fill=0):
+        if bp == b:
+            return x
+        return jnp.pad(
+            x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1), constant_values=fill
+        )
+
+    resh = lambda x: x.reshape((nchunk, chunk) + x.shape[1:])
+
+    if chunk_mode == "vit" and image is not None:
+        vis = jax.lax.map(
+            lambda im: vit_forward(
+                params["vision"], cfg, im, patch_size, pool_size,
+                attn_impl=attn_impl,
+            ),
+            resh(padb(image)),
+        )
+        vis = vis.reshape((bp,) + vis.shape[2:])[:b]
+        return prefill_decode_state(
+            params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
+            vis_embeds=vis, attn_impl=attn_impl, **kw,
+        )
+
+    xs = [
+        resh(padb(input_ids)), resh(padb(token_type_ids)),
+        resh(padb(position_ids)),
+        # pad rows get prompt_len=1 (any valid length; their outputs are
+        # sliced off by the caller / slice_to_batch)
+        resh(padb(prompt_len, fill=1)),
+    ]
+    if image is not None:
+        xs.append(resh(padb(image)))
+
+    def body(args):
+        img_c = args[4] if image is not None else None
+        return prefill_decode_state(
+            params, cfg, args[0], args[1], args[2], args[3],
+            image=img_c, patch_size=patch_size, pool_size=pool_size,
+            attn_impl=attn_impl, **kw,
+        )
+
+    state, hidden, last_hidden = jax.lax.map(body, tuple(xs))
+    unchunk = lambda x: x.reshape((bp,) + x.shape[2:])
+    state = jax.tree.map(unchunk, state)
+    hidden, last_hidden = unchunk(hidden), unchunk(last_hidden)
+    if slice_to_batch and bp != b:
+        state = jax.tree.map(lambda x: x[:b], state)
+        hidden, last_hidden = hidden[:b], last_hidden[:b]
+    return state, hidden, last_hidden
+
+
 def greedy_decode_from_state(
     params: dict,
     cfg: CogVLMConfig,

@@ -85,6 +85,7 @@ def _generate_stage(
                 patch_size=patch_size, pool_size=pool_size, attn_impl=attn_impl,
                 vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,
                 draft_len=spec_draft_len, return_stats=True,
+                prefill_chunk=prefill_chunk, chunk_mode=chunk_mode,
             )
         else:
             res = greedy_generate(
@@ -153,73 +154,23 @@ def _chunked_generate_stage(
     bf16 materialize per matmul, ~16 GB per pass over the 3.3 GB expert
     weights) is paid once instead of once per chunk. Token-identical to
     "all": chunking is batch-parallel either way."""
-    from .cogvlm.vit import vit_forward
-    from .generate import GenerateResult, greedy_decode_from_state, prefill_decode_state
+    from .generate import GenerateResult, chunked_prefill_decode_state, greedy_decode_from_state
 
     def stage(params, input_ids, token_type_ids, position_ids, prompt_len, image):
         b, s = input_ids.shape
-        bp = -(-b // chunk) * chunk  # pad to a whole number of chunks
-        nchunk = bp // chunk
-
-        def padb(x, fill=0):
-            if bp == b:
-                return x
-            return jnp.pad(
-                x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1), constant_values=fill
-            )
-
-        resh = lambda x: x.reshape((nchunk, chunk) + x.shape[1:])
-
-        if chunk_mode == "vit" and has_image:
-            vis = jax.lax.map(
-                lambda im: vit_forward(
-                    params["cogvlm"]["vision"], cfg.vlm, im, patch_size,
-                    pool_size, attn_impl=attn_impl,
-                ),
-                resh(padb(image)),
-            )
-            vis = vis.reshape((bp,) + vis.shape[2:])[:b]
-            state, hidden, last_hidden = prefill_decode_state(
-                params["cogvlm"], cfg.vlm, input_ids, token_type_ids,
-                position_ids, prompt_len, smax=s + max_new_tokens,
-                eos_token_id=eos_token_id, vis_embeds=vis,
-                attn_impl=attn_impl, vis_span=vis_span,
-                kv_cache_dtype=kv_cache_dtype,
-            )
-            res = greedy_decode_from_state(
-                params["cogvlm"], cfg.vlm, state, hidden, last_hidden,
-                max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-                bop_token_id=bop_token_id, eop_token_id=eop_token_id,
-                attn_impl=attn_impl,
-            )
-            return (res.tokens, res.hidden, res.prefill_hidden,
-                    res.num_generated)
-
-        xs = [
-            resh(padb(input_ids)), resh(padb(token_type_ids)),
-            resh(padb(position_ids)),
-            # pad rows get prompt_len=1 (any valid length; their outputs are
-            # sliced off below)
-            resh(padb(prompt_len, fill=1)),
-        ]
-        if has_image:
-            xs.append(resh(padb(image)))
-
-        def body(args):
-            img_c = args[4] if has_image else None
-            return prefill_decode_state(
-                params["cogvlm"], cfg.vlm, args[0], args[1], args[2], args[3],
-                smax=s + max_new_tokens, eos_token_id=eos_token_id,
-                image=img_c, patch_size=patch_size, pool_size=pool_size,
-                attn_impl=attn_impl, vis_span=vis_span,
-                kv_cache_dtype=kv_cache_dtype,
-            )
-
-        state, hidden, last_hidden = jax.lax.map(body, tuple(xs))
-        unchunk = lambda x: x.reshape((bp,) + x.shape[2:])
-        state = jax.tree.map(unchunk, state)
+        state, hidden, last_hidden = chunked_prefill_decode_state(
+            params["cogvlm"], cfg.vlm, input_ids, token_type_ids,
+            position_ids, prompt_len, chunk=chunk, chunk_mode=chunk_mode,
+            smax=s + max_new_tokens, eos_token_id=eos_token_id,
+            image=image if has_image else None, patch_size=patch_size,
+            pool_size=pool_size, attn_impl=attn_impl, vis_span=vis_span,
+            kv_cache_dtype=kv_cache_dtype,
+        )
+        # "all" mode decodes at the chunk-padded batch and slices outputs
+        # (established serving behavior, CLAUDE.md gotcha); "vit" mode never
+        # padded anything past the ViT, so everything below is size b already
         res = greedy_decode_from_state(
-            params["cogvlm"], cfg.vlm, state, unchunk(hidden), unchunk(last_hidden),
+            params["cogvlm"], cfg.vlm, state, hidden, last_hidden,
             max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
             bop_token_id=bop_token_id, eop_token_id=eop_token_id,
             attn_impl=attn_impl,

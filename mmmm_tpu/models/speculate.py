@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..ops.quant import qdot
 from .cogvlm import CogVLMConfig
 from .cogvlm.decoder import llm_decode_step
-from .generate import GenerateResult, prefill_decode_state
+from .generate import GenerateResult, chunked_prefill_decode_state
 
 
 def ngram_draft(
@@ -97,6 +97,8 @@ def ngram_speculative_generate(
     draft_len: int = 7,
     ngram: int = 2,
     return_stats: bool = False,
+    prefill_chunk: int = 0,
+    chunk_mode: str = "all",
 ) -> GenerateResult:
     """Drop-in replacement for ``greedy_generate`` with n-gram speculation.
 
@@ -108,6 +110,12 @@ def ngram_speculative_generate(
     ``return_stats=True`` additionally returns ``{"iters": verify steps run,
     "tokens_per_step": mean committed tokens per step}`` — the speculative
     speedup gauge (greedy ≡ 1.0).
+
+    ``prefill_chunk > 0`` prefills in batch sub-chunks (in-program lax.map,
+    see ``generate.chunked_prefill_decode_state``) — the spec path was
+    otherwise capped at the unchunked prefill-transient batch ceiling, where
+    speculation matters least (large batches amortize weight reads but NOT
+    the per-committed-token cache reads a verify window skips).
     """
     k = draft_len + 1
     b, s_prompt = input_ids.shape
@@ -118,8 +126,9 @@ def ngram_speculative_generate(
     # are never attended (kv_len masks) nor returned (eos masking below)
     smax = s_prompt + max_new_tokens + k
 
-    state0, prefill_hidden, last_hidden = prefill_decode_state(
+    state0, prefill_hidden, last_hidden = chunked_prefill_decode_state(
         params, cfg, input_ids, token_type_ids, position_ids, prompt_len,
+        chunk=prefill_chunk, chunk_mode=chunk_mode, slice_to_batch=True,
         smax=smax, eos_token_id=eos_token_id,
         image=image, patch_size=patch_size, pool_size=pool_size,
         attn_impl=attn_impl, vis_span=vis_span, kv_cache_dtype=kv_cache_dtype,

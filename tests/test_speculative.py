@@ -105,6 +105,31 @@ def test_speculative_ragged_batch_and_int8_kv():
         _assert_same(res_g, res_s, max_new)
 
 
+def test_speculative_chunked_prefill_matches_greedy():
+    """Speculation composes with chunked prefill (the large-batch serving
+    path; the spec row was capped at the unchunked transient ceiling before):
+    identical tokens/hidden vs greedy, including an uneven tail chunk and
+    the vit chunk mode."""
+    cfg, params = _tiny(5)
+    ids, tt, pos, image = _mm_prompt(cfg, 0)
+    b = 3
+    ids = jnp.tile(ids, (b, 1))
+    tt, pos, image = (jnp.tile(x, (b,) + (1,) * (x.ndim - 1)) for x in (tt, pos, image))
+    patch, pool = (2, 4, 4), (1, 2, 2)
+    kw = dict(
+        max_new_tokens=10, eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+        image=image, patch_size=patch, pool_size=pool, attn_impl="xla",
+    )
+    plen = jnp.full((b,), ids.shape[1], jnp.int32)
+    res_g = greedy_generate(params, cfg, ids, tt, pos, plen, **kw)
+    for mode in ("all", "vit"):
+        res_s = ngram_speculative_generate(
+            params, cfg, ids, tt, pos, plen, draft_len=3,
+            prefill_chunk=2, chunk_mode=mode, **kw,
+        )
+        _assert_same(res_g, res_s, 10)
+
+
 def test_ngram_draft_copies_last_match_continuation():
     # history: ... 7 8 [A B] 5 6 1 ... [A B] <end>  → drafts = 5 6 1 ...
     hist = jnp.asarray([[7, 8, 4, 9, 5, 6, 1, 3, 4, 9, 0, 0]], jnp.int32)
