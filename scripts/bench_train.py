@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -36,6 +37,11 @@ def main(argv=None):
                     "frozen base; LoRA state + remat'd activations must fit "
                     "the remaining ~3 GB — start at --batch 2)")
     args = ap.parse_args(argv)
+
+    # ride out transient relay outages instead of dying at backend init
+    import bench as _bench
+
+    _bench._wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
 
     import jax
     import jax.numpy as jnp

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -637,7 +638,7 @@ def main(argv=None):
     import bench
 
     # ride out transient relay outages instead of dying at backend init
-    bench._wait_for_backend(1800.0)
+    bench._wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
     out = []
     if args.probe == "ragged":
         probe_ragged(out)
