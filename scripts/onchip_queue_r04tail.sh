@@ -9,8 +9,11 @@ cd /root/repo
 export MMMM_BENCH_WAIT=10800
 while ! grep -q "QUEUE PQ DONE" /root/repo/BENCH_SWEEP_r04q.jsonl 2>/dev/null; do sleep 120; done
 
+gate() { while [ -f /tmp/suite_running ]; do sleep 60; done; }
+
 QOUT=/root/repo/BENCH_SWEEP_r04q.jsonl
 run() {
+  gate
   echo "=== $* ===" >&2
   local tag=$1; shift
   local line
@@ -20,6 +23,7 @@ run() {
 run b48-c12-unroll4 MMMM_DECODE_UNROLL=4 MMMM_BENCH_BATCH=48 MMMM_BENCH_PREFILL_CHUNK=12
 run b48-c16-unroll2 MMMM_DECODE_UNROLL=2 MMMM_BENCH_BATCH=48 MMMM_BENCH_PREFILL_CHUNK=16
 
+gate
 python scripts/bench_train.py --remat attn --batch 16 --seq 1024 \
   >> /root/repo/BENCH_TRAIN_r04.jsonl 2>>"${QOUT}.log"
 
