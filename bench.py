@@ -379,8 +379,10 @@ def _wait_for_backend(max_wait_s: float) -> None:
         time.sleep(120)
 
 
-def main():
-    _wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
+def _gauge_headline() -> dict:
+    """Headline row: full grounded path at the default config. Runs in its
+    own process (the orchestrator spawns one subprocess per gauge so a row's
+    OOM or relay failure cannot starve the others — VERDICT r4 weak #1)."""
     params, cfg, tokenizer = build_params()
     run, flops = build_run(
         params, cfg, tokenizer, BATCH, MAX_NEW_TOKENS, KV_DTYPE, PREFILL_CHUNK
@@ -392,109 +394,154 @@ def main():
     n_iters = 3
     t0 = time.time()
     for _ in range(n_iters):
-        res = run()
+        run()
     dt = (time.time() - t0) / n_iters
-    reports_per_sec = BATCH / dt
-    mfu = flops / dt / V5E_PEAK_BF16
-    # each extra row's build allocates ~1 GB of fresh device inputs: free the
-    # previous row's closure (device buffers are refcounted) or the 4th build
-    # runtime-OOMs next to the 8 GB of resident weights
-    del run, res
+    return {
+        "value": round(BATCH / dt, 3),
+        "mfu": round(flops / dt / V5E_PEAK_BF16, 4),
+    }
+
+
+def _gauge_long() -> dict:
+    """Long-decode row (the reference demo generates up to 512 new tokens,
+    /root/reference/scripts/demo.py:46): fresh process, one timed iteration.
+    The 512-step scan compiles its own program; keep it at unroll=1 (the
+    headline's unroll=2 doubles the scan body for no measured long-row gain
+    and feeds the remote-compiler memory ceiling)."""
+    lb = LONG_BATCH or BATCH
+    lkv = LONG_KV or KV_DTYPE
+    os.environ["MMMM_DECODE_UNROLL"] = os.environ.get("MMMM_BENCH_LONG_UNROLL", "1")
+    params, cfg, tokenizer = build_params()
+    lrun, _ = build_run(
+        params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, LONG_CHUNK
+    )
+    lrun()  # compile
+    t0 = time.time()
+    lrun()
+    ldt = time.time() - t0
+    return {
+        "value": round(lb / ldt, 3), "unit": "reports/sec/chip",
+        "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
+        "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
+    }
+
+
+def _gauge_spec() -> dict:
+    """Speculative-decoding gauge: SPEC_ROW-token n-gram draft at the
+    headline batch (the spec path prefills chunked too). Caveat travels with
+    the row: random-weight acceptance is unrepresentative of real reports —
+    tests/test_speculative.py pins the structured-text value instead."""
+    sb = BATCH
+    params, cfg, tokenizer = build_params()
+    srun, _ = build_run(
+        params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
+        PREFILL_CHUNK, spec=SPEC_ROW,
+    )
+    sres = srun()  # compile
+    t0 = time.time()
+    sres = srun()
+    sdt = time.time() - t0
+    st = jax.device_get(sres.spec_stats) if sres.spec_stats else {}
+    return {
+        "value": round(sb / sdt, 3), "unit": "reports/sec/chip",
+        "batch": sb, "draft_len": SPEC_ROW,
+        "tokens_per_step": round(float(st.get("tokens_per_step", 0)), 3),
+        "verify_steps": int(st.get("iters", 0)),
+        "acceptance_caveat": "random-weight stream; see tests/test_speculative.py",
+    }
+
+
+def _gauge_prefill() -> dict:
+    """Prefill-only MFU gauge (separate jit of the identical prefill
+    computation, at the chunk batch when chunked prefill is on)."""
+    pf_batch = PREFILL_CHUNK if 0 < PREFILL_CHUNK < BATCH else BATCH
+    params, cfg, _ = build_params()
+    prefill_flops, _ = _matmul_flops(cfg, pf_batch, PROMPT_LEN,
+                                     MAX_NEW_TOKENS, N_VIS)
+    prefill_run = build_prefill(params, cfg, pf_batch)
+    prefill_run()  # compile
+    n_iters = 3
+    t0 = time.time()
+    for _ in range(n_iters):
+        prefill_run()
+    prefill_dt = (time.time() - t0) / n_iters
+    return {"prefill_mfu": round(prefill_flops / prefill_dt / V5E_PEAK_BF16, 4)}
+
+
+_GAUGES = {
+    "headline": _gauge_headline,
+    "long": _gauge_long,
+    "spec": _gauge_spec,
+    "prefill": _gauge_prefill,
+}
+
+
+def _spawn_gauge(gauge: str, retries: int = 1, timeout_s: float = 5400.0) -> dict:
+    """Run one gauge in a fresh subprocess with its own device client, so the
+    B48 headline's resident state can't RESOURCE_EXHAUST the later gauges and
+    a transient relay HTTP 500 only costs a row retry (VERDICT r4 #2). The
+    child prints its row as the last stdout line."""
+    import subprocess
+
+    env = dict(os.environ, MMMM_BENCH_GAUGE=gauge)
+    last_err = ""
+    for attempt in range(retries + 1):
+        if attempt:
+            print(f"[bench] retrying gauge {gauge}: {last_err[-300:]}",
+                  file=sys.stderr, flush=True)
+            _wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"gauge subprocess timeout ({timeout_s:.0f}s)"
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                last_err = f"unparseable gauge output: {lines[-1][:200]}"
+        else:
+            last_err = (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
+    return {"error": last_err[-300:]}
+
+
+def main():
+    gauge = os.environ.get("MMMM_BENCH_GAUGE")
+    if gauge:
+        # child mode: run exactly one gauge against a fresh device client
+        _wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
+        print(json.dumps(_GAUGES[gauge]()), flush=True)
+        return
+
+    # orchestrator mode: never initializes a device client itself — every
+    # measurement runs in a per-gauge subprocess that owns the whole chip
+    _wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
+    head = _spawn_gauge("headline")
+    if "error" in head:
+        raise RuntimeError(f"headline gauge failed: {head['error']}")
+    reports_per_sec = head["value"]
     print(f"[bench] headline {reports_per_sec:.2f} rep/s", file=sys.stderr, flush=True)
 
-    # long-decode row (the reference demo generates up to 512 new tokens):
-    # same weights, one timed iteration; failures (e.g. cache OOM at the
-    # headline batch) are reported, not fatal
     long_row = None
     if LONG_NEW_TOKENS:
-        lb = LONG_BATCH or BATCH
-        lkv = LONG_KV or KV_DTYPE
-        # the 512-step scan compiles its own program: keep it at unroll=1
-        # (the headline's unroll=2 doubles the scan body for no measured
-        # long-row gain and feeds the remote-compiler memory ceiling)
-        unroll_prev = os.environ.get("MMMM_DECODE_UNROLL")
-        os.environ["MMMM_DECODE_UNROLL"] = os.environ.get(
-            "MMMM_BENCH_LONG_UNROLL", "1"
-        )
-        try:
-            lrun, lflops = build_run(
-                params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, LONG_CHUNK
-            )
-            lrun()  # compile
-            t0 = time.time()
-            lrun()
-            ldt = time.time() - t0
-            long_row = {
-                "value": round(lb / ldt, 3), "unit": "reports/sec/chip",
-                "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
-                "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
-            }
-        except Exception as e:  # noqa: BLE001 — report the failure inline
-            long_row = {"error": f"{type(e).__name__}: {str(e)[:200]}",
-                        "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv}
-        finally:
-            # the run closure holds the row's device inputs (~0.4 GB of
-            # ids/images at B28); on failure they must not stay alive into
-            # the next row — a leaked set OOMed the whole bench once
-            # (BENCH_SWEEP_r04l final row)
-            lrun = None  # noqa: F841
-            if unroll_prev is None:
-                os.environ.pop("MMMM_DECODE_UNROLL", None)
-            else:
-                os.environ["MMMM_DECODE_UNROLL"] = unroll_prev
+        long_row = _spawn_gauge("long")
         print(f"[bench] long_decode {long_row}", file=sys.stderr, flush=True)
 
-    # speculative-decoding gauge: SPEC=7 at the fused batch ceiling (the spec
-    # path doesn't chunk prefill), reporting measured tokens-per-weight-pass.
-    # Caveat travels with the row: random-weight acceptance is
-    # unrepresentative of real reports (cycles inflate it, noise deflates it)
-    # — tests/test_speculative.py pins the structured-text value instead.
     spec_row = None
     if SPEC_ROW and SPEC == 0:
-        # the spec path now prefills CHUNKED too (it was capped at B24 by the
-        # unchunked transient wall); run it at the headline batch/chunk
-        sb = BATCH
-        try:
-            srun, _ = build_run(
-                params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
-                PREFILL_CHUNK, spec=SPEC_ROW,
-            )
-            sres = srun()  # compile
-            t0 = time.time()
-            sres = srun()
-            sdt = time.time() - t0
-            st = jax.device_get(sres.spec_stats) if sres.spec_stats else {}
-            spec_row = {
-                "value": round(sb / sdt, 3), "unit": "reports/sec/chip",
-                "batch": sb, "draft_len": SPEC_ROW,
-                "tokens_per_step": round(float(st.get("tokens_per_step", 0)), 3),
-                "verify_steps": int(st.get("iters", 0)),
-                "acceptance_caveat": "random-weight stream; see tests/test_speculative.py",
-            }
-        except Exception as e:  # noqa: BLE001
-            spec_row = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-        finally:
-            srun = sres = None  # noqa: F841 — release device inputs (see long row)
+        spec_row = _spawn_gauge("spec")
         print(f"[bench] spec {spec_row}", file=sys.stderr, flush=True)
 
-    # prefill-only gauge (separate jit of the identical prefill computation,
-    # at the chunk batch when chunked prefill is on)
-    pf_batch = PREFILL_CHUNK if 0 < PREFILL_CHUNK < BATCH else BATCH
-    prefill_flops, _ = _matmul_flops(cfg, pf_batch, PROMPT_LEN, MAX_NEW_TOKENS, N_VIS)
-    try:
-        prefill_run = build_prefill(params, cfg, pf_batch)
-        prefill_run()  # compile
-        t0 = time.time()
-        for _ in range(n_iters):
-            prefill_run()
-        prefill_dt = (time.time() - t0) / n_iters
-        prefill_mfu = prefill_flops / prefill_dt / V5E_PEAK_BF16
-    except Exception as e:  # noqa: BLE001 — the gauge must not kill the bench
-        print(f"[bench] prefill gauge failed: {type(e).__name__}: {e}",
+    pf = _spawn_gauge("prefill")
+    prefill_mfu = pf.get("prefill_mfu")
+    if "error" in pf:
+        print(f"[bench] prefill gauge failed: {pf['error']}",
               file=sys.stderr, flush=True)
-        prefill_mfu = None
-    finally:
-        prefill_run = None  # noqa: F841
 
     input_rate = bench_input_pipeline()
 
@@ -519,8 +566,8 @@ def main():
                 # (BASELINE.md); this gauge tracks self-relative progress
                 "vs_baseline": round(reports_per_sec / baseline, 3),
                 "baseline_def": "self: first v2 run (BENCH_BASELINE.json)",
-                "mfu": round(mfu, 4),
-                "prefill_mfu": round(prefill_mfu, 4) if prefill_mfu else None,
+                "mfu": head["mfu"],
+                "prefill_mfu": prefill_mfu,
                 "input_volumes_per_sec": round(input_rate, 2),
                 "input_bound": bool(input_rate < reports_per_sec),
                 "batch": BATCH,

@@ -78,3 +78,50 @@ def test_bench_builder_signatures_bind():
         "params", "cfg", "tok", 28, 128, "bf16", 0
     )
     inspect.signature(bench.build_params).bind()
+
+
+def test_spawn_gauge_parses_last_json_line(monkeypatch):
+    """bench.main orchestrates per-gauge subprocesses (one fresh device
+    client per row — VERDICT r4 #2); _spawn_gauge must take the LAST stdout
+    line (children may print progress first) and fall back to a retry then an
+    {"error": ...} row instead of raising."""
+    import subprocess
+    import types
+
+    import bench
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(kw["env"]["MMMM_BENCH_GAUGE"])
+        return types.SimpleNamespace(
+            returncode=0, stderr="",
+            stdout='warmup noise\n{"value": 1.5, "mfu": 0.3}\n',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    row = bench._spawn_gauge("headline")
+    assert row == {"value": 1.5, "mfu": 0.3}
+    assert calls == ["headline"]
+
+
+def test_spawn_gauge_returns_error_row_after_retries(monkeypatch):
+    import subprocess
+    import types
+
+    import bench
+
+    def fake_run(cmd, **kw):
+        return types.SimpleNamespace(
+            returncode=1, stderr="RESOURCE_EXHAUSTED: boom", stdout="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *_: None)
+    row = bench._spawn_gauge("spec", retries=1)
+    assert "error" in row and "RESOURCE_EXHAUSTED" in row["error"]
+
+
+def test_gauge_registry_complete():
+    import bench
+
+    assert set(bench._GAUGES) == {"headline", "long", "spec", "prefill"}
