@@ -32,16 +32,35 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--vis", type=int, default=146)
-    ap.add_argument("--config", default="1.4b", choices=["1.4b", "6.5b"],
+    ap.add_argument("--config", default="1.4b", choices=["tiny", "1.4b", "6.5b"],
                     help="6.5b = the serving-bench flagship shape (13 GB bf16 "
                     "frozen base; LoRA state + remat'd activations must fit "
                     "the remaining ~3 GB — start at --batch 2)")
+    ap.add_argument("--vg", default="none",
+                    choices=["none", "semantic", "instance"],
+                    help="grounding mode in the step (the stage-1 recipe is a "
+                    "mix of all three buckets, conf/phase-vg/fit.yaml): "
+                    "semantic = SAM mask pass + DiceFocal; instance = iSAM + "
+                    "Hungarian box matching (VinDr box-only bucket)")
+    ap.add_argument("--gsize", type=int, nargs=3, default=(32, 256, 256),
+                    metavar=("D", "H", "W"),
+                    help="grounding-image shape for the vg rows")
     args = ap.parse_args(argv)
 
-    # ride out transient relay outages instead of dying at backend init
-    import bench as _bench
+    if os.environ.get("MMMM_CPU") == "1":
+        # force CPU for host-side smokes: JAX_PLATFORMS=cpu in the env is
+        # INEFFECTIVE here (the axon sitecustomize imports jax and pins the
+        # platform before the interpreter reads our env), so flip the config
+        # after import — and never probe the relay (a stray jax.devices()
+        # subprocess would grab the chip while a timed queue row runs)
+        import jax
 
-    _bench._wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # ride out transient relay outages instead of dying at backend init
+        import bench as _bench
+
+        _bench._wait_for_backend(float(os.environ.get("MMMM_BENCH_WAIT", "1800")))
 
     import jax
     import jax.numpy as jnp
@@ -52,12 +71,19 @@ def main(argv=None):
     from mmmm_tpu.peft import LoraConfig
     from mmmm_tpu.train import OptimizerConfig, init_train_state, make_optimizer, make_train_step
 
+    img_shape, patch, pool = (3, 16, 384, 384), (16, 16, 16), (1, 2, 2)
     if args.config == "6.5b":
         # the serving flagship shape (bench._bench_cfg) so the train gauge
         # exists at the same scale as the headline serving number
         import bench
 
         cfg = bench._bench_cfg()
+    elif args.config == "tiny":
+        # CPU smoke shape (tests/conftest pins tests to CPU; this keeps the
+        # vg rows runnable without the chip)
+        cfg = MMMMConfig.tiny()
+        img_shape, patch, pool = (3, 4, 16, 16), (4, 4, 4), (1, 1, 1)
+        args.gsize = (4, 16, 16)
     else:
         cfg = MMMMConfig(
             vlm=CogVLMConfig(
@@ -78,7 +104,7 @@ def main(argv=None):
     )
     remat = {"attn": "attn", "full": True, "none": False}[args.remat]
     step = make_train_step(
-        model, opt, lcfg, vg_mode="none", bf16_vlm=True, attn_impl="auto",
+        model, opt, lcfg, vg_mode=args.vg, bf16_vlm=True, attn_impl="auto",
         remat=remat,
     )
 
@@ -94,10 +120,30 @@ def main(argv=None):
         # phase-vg vision budget: 144 tokens = (1, 12, 12) post-pool grid
         # (max_vision_tokens=144, BASELINE.md) — a (16, 384, 384) volume at
         # patch 16 / pool (1, 2, 2)
-        "image": jnp.ones((b, 3, 16, 384, 384), jnp.float32),
-        "patch_size": (16, 16, 16),
-        "pool_size": (1, 2, 2),
+        "image": jnp.ones((b, *img_shape), jnp.float32),
+        "patch_size": patch,
+        "pool_size": pool,
     }
+    if args.vg != "none":
+        # stage-1 grounding bucket shapes (conf/phase-vg): 4 padded targets,
+        # SegVol-size grounding volume; positions point past the vision span
+        n_tgt = 4
+        gd, gh, gw = args.gsize
+        batch["grounding_image"] = jnp.ones((b, 3, gd, gh, gw), jnp.float32)
+        batch["vg_positions"] = jnp.asarray(
+            rng.integers(nv + 2, s - 1, size=(b, n_tgt)), jnp.int32)
+        batch["vg_valid"] = jnp.ones((b, n_tgt), bool)
+        if args.vg == "semantic":
+            batch["masks"] = jnp.asarray(
+                rng.uniform(size=(b, n_tgt, gd, gh, gw)) > 0.8)
+        else:  # instance: VinDr box-only bucket (Hungarian on boxes + disc)
+            lmax = 6
+            batch["boxes_label"] = jnp.asarray(
+                rng.uniform(0.2, 0.8, size=(b, lmax, 6)), jnp.float32)
+            offs = np.zeros((b, n_tgt, 2), np.int32)
+            offs[:, 0] = (0, 2)  # two boxes for target 0, rest empty
+            offs[:, 1:] = (2, 2)
+            batch["index_offsets"] = jnp.asarray(offs)
 
     state, logs = step(state, frozen, batch)  # compile + warm
     np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))
@@ -122,13 +168,17 @@ def main(argv=None):
     )
     flops = 3 * fwd
     tok_s = b * s / dt
+    suffix = "" if args.vg == "none" else f"_vg-{args.vg}"
     print(json.dumps({
-        "metric": f"train_tokens_per_sec_{args.config}",
+        "metric": f"train_tokens_per_sec_{args.config}{suffix}",
         "value": round(tok_s, 1),
         "unit": "tokens/sec/chip",
         "step_ms": round(dt * 1e3, 1),
+        # mfu counts LLM+ViT+head matmuls only; the vg rows run SAM/iSAM on
+        # top, so their mfu understates utilization — compare step_ms
         "mfu": round(flops / dt / 197e12, 4),
         "remat": args.remat,
+        "vg_mode": args.vg,
         "batch": b, "seq": s,
         "loss": float(np.asarray(logs.get("loss", logs["lm_loss"]))),
     }))

@@ -239,6 +239,213 @@ def convert_ct_rate(dataset_dir: Path, out_dir: Path, split: str,
     print(f"{split}: {len(data)} studies")
 
 
+def convert_openi(src: Path, out_dir: Path):
+    """OpenI (Indiana University CXR) adapter (ref ``scripts/data/vl/OpenI/
+    OpenI.py:10-44``): per report row, collect ``images/images_normalized/
+    {uid}_IM*.dcm.png``, require non-empty findings AND impression, copy the
+    kept images under the processed dir, shuffle with the reference's seed
+    (30924) and split 90/10 train/test. The reference keys the image glob by
+    the CSV enumerate index; we use the ``uid`` column when present (same
+    value in the official CSV) and fall back to the row index."""
+    import csv as _csv
+    import shutil
+
+    save_dir = out_dir / "images"
+    save_dir.mkdir(parents=True, exist_ok=True)
+    data = []
+    with open(src / "indiana_reports.csv", newline="") as f:
+        for i, item in enumerate(_csv.DictReader(f)):
+            uid = item.get("uid", str(i))
+            images = sorted((src / "images" / "images_normalized").glob(f"{uid}_IM*.dcm.png"))
+            findings = (item.get("findings") or "").strip()
+            impression = (item.get("impression") or "").strip()
+            if not images or not findings or not impression:
+                continue
+            save_paths = []
+            for origin in images:
+                dst = save_dir / origin.name
+                shutil.copy(origin, dst)
+                save_paths.append(str(dst))
+            data.append({
+                "key": uid,
+                "image": save_paths,
+                "modality": ["X-ray"] * len(save_paths),
+                "findings": findings,
+                "impression": impression,
+            })
+    np.random.RandomState(30924).shuffle(data)
+    cut = int(len(data) * 0.9)
+    (out_dir / "train.json").write_text(json.dumps(data[:cut], indent=1))
+    (out_dir / "test.json").write_text(json.dumps(data[cut:], indent=1))
+    print(f"train: {cut}, test: {len(data) - cut} studies")
+
+
+def convert_rocov2(src: Path, out_dir: Path, split: str):
+    """ROCOv2 caption adapter (ref ``scripts/data/vl/ROCOv2.py``): the
+    ``{split}_captions.csv`` ID column names ``{split}/{ID}.jpg``."""
+    import csv as _csv
+
+    with open(src / f"{split}_captions.csv", newline="") as f:
+        data = [
+            {
+                "key": row["ID"],
+                "image": [str(src / split / (row["ID"] + ".jpg"))],
+                "caption": row["Caption"],
+            }
+            for row in _csv.DictReader(f)
+        ]
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / f"{split}.json").write_text(json.dumps(data, indent=1))
+    print(f"{split}: {len(data)} captions")
+
+
+def convert_pmc_oa(src: Path, out_dir: Path, *, check_image: bool = True,
+                   num_val: int = 500):
+    """PMC-OA caption adapter (ref ``scripts/data/vl/PMC-OA.py``): jsonl rows
+    with subfigure image paths; captions stripped, <10-char captions dropped,
+    first letter capitalized, trailing period enforced; unreadable images
+    dropped when ``check_image``; reference shuffle seed 16358, last
+    ``num_val`` rows to validate."""
+    img_root = src / "caption_T060_filtered_top4_sep_v0_subfigures"
+    data = []
+    for line in (src / "pmc_oa.jsonl").read_text().strip().splitlines():
+        item = json.loads(line)
+        path = img_root / item["image"]
+        if check_image and not _image_readable(path):
+            continue
+        caption = item["caption"].strip()
+        if len(caption) < 10:
+            continue
+        if caption[0].islower():
+            caption = caption[0].upper() + caption[1:]
+        if caption[-1] != ".":
+            caption += "."
+        data.append({"image": [str(path)], "caption": caption})
+    np.random.RandomState(16358).shuffle(data)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "train.json").write_text(json.dumps(data[:-num_val], indent=1))
+    (out_dir / "validate.json").write_text(json.dumps(data[-num_val:], indent=1))
+    print(f"train: {max(len(data) - num_val, 0)}, validate: {min(num_val, len(data))}")
+
+
+def _image_readable(path: Path) -> bool:
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im.verify()
+        return True
+    except Exception:  # noqa: BLE001 — any decode failure drops the row
+        return False
+
+
+# Radiopaedia plane normalization (ref ``Radiopaedia/Radiopaedia.py:37-48``);
+# unknown planes map to None
+RP_PLANE_MAP = {
+    "axial": "axial", "coronal": "coronal", "sagittal": "sagittal",
+    "frontal": "frontal", "lateral": "lateral", "oblique": "oblique",
+    "longitudinal": "longitudinal", "transverse": "transverse",
+    "ap": "AP", "pa": "PA",
+}
+# the RadFM csv hardcodes its cluster mount; paths rewrite to our images dir
+RADFM_MOUNT = "/mnt/petrelfs/share_data/zhangxiaoman/DATA/Radio_VQA/processed_file/npys"
+
+
+def convert_radiopaedia(src: Path, out_dir: Path, json_file: str,
+                        *, train_val: bool = False, num_val: int = 250):
+    """Radiopaedia (RP3D via RadFM csv) adapter (ref ``Radiopaedia/
+    Radiopaedia.py:50-93``): rewrite the RadFM mount paths to the processed
+    images dir (``.nii.gz``/``.npy`` -> ``.pt.zst``), keep only images that
+    exist on disk, normalize planes through the reference map, carry findings
+    + the qa_list when the finding text is non-empty; reference shuffle seed
+    233, last ``num_val`` to validate (or everything to test)."""
+    images_dir = out_dir / "images"
+
+    def convert_path(radfm_path: str) -> Path:
+        path = radfm_path.replace(RADFM_MOUNT, str(images_dir))
+        for suffix in (".nii.gz", ".npy"):
+            if path.endswith(suffix):
+                path = path[: -len(suffix)] + ".pt.zst"
+        return Path(path)
+
+    data = []
+    for item in json.loads((src / json_file).read_text()):
+        ret = {"image": [], "modality": [], "plane": []}
+        for i, radfm_path in enumerate(item["image_path"]):
+            path = convert_path(radfm_path)
+            if not path.exists():
+                continue
+            ret["image"].append(str(path))
+            ret["modality"].append(item["image_modality"][i].strip())
+            plane = item["plane_projection"][i]
+            if isinstance(plane, str):
+                plane = plane.lower()
+            ret["plane"].append(RP_PLANE_MAP.get(plane))
+        if not ret["image"]:
+            continue
+        findings = item.get("finding")
+        if isinstance(findings, str) and (findings := findings.strip()):
+            ret["findings"] = findings
+            ret["vqa"] = item.get("qa_list")
+        data.append(ret)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if train_val:
+        np.random.RandomState(233).shuffle(data)
+        (out_dir / "train.json").write_text(json.dumps(data[:-num_val], indent=1))
+        (out_dir / "validate.json").write_text(json.dumps(data[-num_val:], indent=1))
+        print(f"train: {max(len(data) - num_val, 0)}, validate: {min(num_val, len(data))}")
+    else:
+        (out_dir / "test.json").write_text(json.dumps(data, indent=1))
+        print(f"test: {len(data)} items")
+
+
+def convert_vqa_med(src: Path, out_dir: Path):
+    """VQA-Med-2019 adapter (ref ``scripts/data/vl/VQA-Med.py``): pipe-
+    separated QA lines (``img|q|a`` for train/validate, ``img|cat|q|a`` for
+    test), sorted then grouped by consecutive image id; images copied under
+    the processed dir as ``images/{id}.jpg``."""
+    import shutil
+
+    layout = [
+        ("ImageClef-2019-VQA-Med-Training/All_QA_Pairs_train.txt", "train.json", False,
+         "ImageClef-2019-VQA-Med-Training/Train_images"),
+        ("ImageClef-2019-VQA-Med-Validation/All_QA_Pairs_val.txt", "validate.json", False,
+         "ImageClef-2019-VQA-Med-Validation/Val_images"),
+        ("VQAMed2019Test/VQAMed2019_Test_Questions_w_Ref_Answers.txt", "test.json", True,
+         "VQAMed2019Test/VQAMed2019_Test_Images"),
+    ]
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    for txt_file, out_file, test, img_dir in layout:
+        if not (src / txt_file).exists():
+            continue
+        rows = sorted(
+            (line.split("|") for line in (src / txt_file).read_text().splitlines() if line),
+            key=lambda x: x[0],  # stable by image id only (ref VQA-Med.py:13)
+        )
+        processed, vqa, img = [], [], ""
+
+        def flush():
+            if vqa:
+                processed.append(
+                    {"image": [str(out_dir / "images" / (img + ".jpg"))], "vqa": list(vqa)}
+                )
+
+        for item in rows:
+            if item[0] != img:
+                flush()
+                img, vqa = item[0], []
+            vqa.append({
+                "question": item[2 if test else 1],
+                "answer": item[3 if test else 2].strip(),
+            })
+        flush()
+        (out_dir / out_file).write_text(json.dumps(processed, indent=1))
+        print(f"{out_file}: {len(processed)} images")
+        if (src / img_dir).is_dir():
+            for p in (src / img_dir).iterdir():
+                shutil.copy(p, out_dir / "images" / p.name)
+
+
 def label_reports(dataset_dir: Path, split: str, chexbert_ckpt: Path | None = None,
                   labeler=None) -> Path:
     """Anomaly-label a converted dataset's reports (ref ``scripts/data/vl/
@@ -283,9 +490,18 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--format",
-        choices=["vqa-json", "report-folder", "mimic-cxr", "ct-rate", "label"],
+        choices=["vqa-json", "report-folder", "mimic-cxr", "ct-rate", "label",
+                 "openi", "rocov2", "pmc-oa", "radiopaedia", "vqa-med"],
         required=True,
     )
+    parser.add_argument("--json-file", default="radiology_article_npy_train.json",
+                        help="radiopaedia: RadFM csv json under --src")
+    parser.add_argument("--train-val", action="store_true",
+                        help="radiopaedia: split train/validate instead of test")
+    parser.add_argument("--no-check-image", action="store_true",
+                        help="pmc-oa: skip the per-image decode check")
+    parser.add_argument("--num-val", type=int, default=None,
+                        help="pmc-oa/radiopaedia: validate-set size override")
     parser.add_argument("--chexbert-ckpt", help="CheXbert checkpoint for --format label")
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True, help="output dataset dir")
@@ -323,6 +539,18 @@ def main(argv=None):
             src, args.split,
             chexbert_ckpt=Path(args.chexbert_ckpt) if args.chexbert_ckpt else None,
         )
+    elif args.format == "openi":
+        convert_openi(src, out)
+    elif args.format == "rocov2":
+        convert_rocov2(src, out, args.split)
+    elif args.format == "pmc-oa":
+        convert_pmc_oa(src, out, check_image=not args.no_check_image,
+                       num_val=args.num_val or 500)
+    elif args.format == "radiopaedia":
+        convert_radiopaedia(src, out, args.json_file,
+                            train_val=args.train_val, num_val=args.num_val or 250)
+    elif args.format == "vqa-med":
+        convert_vqa_med(src, out)
     else:
         convert_report_folder(src, out, args.split)
 

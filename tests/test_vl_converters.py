@@ -166,3 +166,148 @@ def test_convert_ct_rate(tmp_path):
     tax = get_target_tax()
     for _, name in convert_vl.CT_RATE_LABELS:
         assert name in tax, name
+
+
+# -- round-5 per-dataset adapters (VERDICT r4 missing #3) ---------------------
+
+def _png(path: Path):
+    from PIL import Image
+    import numpy as np
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(path)
+
+
+def test_convert_openi(tmp_path):
+    """OpenI quirks (ref OpenI/OpenI.py): uid-keyed image glob, rows without
+    findings or impression dropped, images copied, seeded 90/10 split."""
+    from convert_vl import convert_openi
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    for uid, n_img in [("1", 2), ("2", 1), ("3", 1)]:
+        for k in range(n_img):
+            _png(src / "images" / "images_normalized" / f"{uid}_IM-{k}.dcm.png")
+    src.mkdir(exist_ok=True)
+    with open(src / "indiana_reports.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["uid", "findings", "impression"])
+        w.writeheader()
+        w.writerow({"uid": "1", "findings": "Clear lungs.", "impression": "Normal."})
+        w.writerow({"uid": "2", "findings": "", "impression": "Normal."})  # dropped
+        w.writerow({"uid": "3", "findings": "Opacity.", "impression": "Pneumonia."})
+    convert_openi(src, out)
+    train = json.loads((out / "train.json").read_text())
+    test = json.loads((out / "test.json").read_text())
+    items = train + test
+    assert {i["key"] for i in items} == {"1", "3"}
+    one = next(i for i in items if i["key"] == "1")
+    assert len(one["image"]) == 2 and one["modality"] == ["X-ray", "X-ray"]
+    assert all(Path(p).exists() for p in one["image"])  # copied under out/
+
+
+def test_convert_rocov2(tmp_path):
+    from convert_vl import convert_rocov2
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    with open(src / "train_captions.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["ID", "Caption"])
+        w.writeheader()
+        w.writerow({"ID": "ROCOv2_0001", "Caption": "CT of the chest."})
+    convert_rocov2(src, out, "train")
+    items = json.loads((out / "train.json").read_text())
+    assert items == [{
+        "key": "ROCOv2_0001",
+        "image": [str(src / "train" / "ROCOv2_0001.jpg")],
+        "caption": "CT of the chest.",
+    }]
+
+
+def test_convert_pmc_oa_caption_cleanup(tmp_path):
+    """PMC-OA caption quirks (ref PMC-OA.py:20-28): strip, drop <10 chars,
+    capitalize the first letter, enforce a trailing period; unreadable images
+    dropped when checking."""
+    from convert_vl import convert_pmc_oa
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    img_root = src / "caption_T060_filtered_top4_sep_v0_subfigures"
+    _png(img_root / "a.jpg")
+    _png(img_root / "b.jpg")
+    (img_root / "broken.jpg").write_bytes(b"not an image")
+    rows = [
+        {"image": "a.jpg", "caption": "  the chest radiograph shows nodules  "},
+        {"image": "b.jpg", "caption": "short"},              # dropped: <10 chars
+        {"image": "broken.jpg", "caption": "A long enough caption here."},
+        {"image": "missing.jpg", "caption": "Another long caption text."},
+    ]
+    (src / "pmc_oa.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    convert_pmc_oa(src, out, num_val=1)
+    items = (json.loads((out / "train.json").read_text())
+             + json.loads((out / "validate.json").read_text()))
+    assert len(items) == 1
+    assert items[0]["caption"] == "The chest radiograph shows nodules."
+
+
+def test_convert_radiopaedia(tmp_path):
+    """Radiopaedia quirks (ref Radiopaedia/Radiopaedia.py:27-93): RadFM mount
+    rewrite + .npy/.nii.gz -> .pt.zst, missing images dropped, plane
+    normalization with None for unknowns, findings gating the vqa field."""
+    from convert_vl import RADFM_MOUNT, convert_radiopaedia
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    img = out / "images" / "case1" / "vol.pt.zst"
+    img.parent.mkdir(parents=True)
+    img.write_bytes(b"x")
+    data = [
+        {
+            "image_path": [f"{RADFM_MOUNT}/case1/vol.npy", f"{RADFM_MOUNT}/gone/x.nii.gz"],
+            "image_modality": ["CT ", "MRI"],
+            "plane_projection": ["Axial", "weird"],
+            "finding": " Large mass. ",
+            "qa_list": [{"question": "q", "answer": "a"}],
+        },
+        {  # all images missing -> dropped
+            "image_path": [f"{RADFM_MOUNT}/gone/y.npy"],
+            "image_modality": ["CT"], "plane_projection": ["axial"],
+            "finding": "x", "qa_list": [],
+        },
+        {  # no finding -> image-only item (kept, no vqa/findings keys)
+            "image_path": [f"{RADFM_MOUNT}/case1/vol.npy"],
+            "image_modality": ["CT"], "plane_projection": [None],
+            "finding": None, "qa_list": [],
+        },
+    ]
+    (src / "rp.json").write_text(json.dumps(data))
+    convert_radiopaedia(src, out, "rp.json")
+    items = json.loads((out / "test.json").read_text())
+    assert len(items) == 2
+    assert items[0]["image"] == [str(img)]
+    assert items[0]["modality"] == ["CT"]
+    assert items[0]["plane"] == ["axial"]
+    assert items[0]["findings"] == "Large mass."
+    assert items[0]["vqa"] == [{"question": "q", "answer": "a"}]
+    assert "findings" not in items[1] and items[1]["plane"] == [None]
+
+
+def test_convert_vqa_med(tmp_path):
+    """VQA-Med pipe format (ref VQA-Med.py:9-34): img|q|a grouped by image;
+    test files carry a category column (img|cat|q|a)."""
+    from convert_vl import convert_vqa_med
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    tr = src / "ImageClef-2019-VQA-Med-Training"
+    tr.mkdir(parents=True)
+    (tr / "All_QA_Pairs_train.txt").write_text(
+        "img2|what modality?|xray\nimg1|what plane?|axial\nimg1|normal?|yes\n"
+    )
+    te = src / "VQAMed2019Test"
+    te.mkdir()
+    (te / "VQAMed2019_Test_Questions_w_Ref_Answers.txt").write_text(
+        "img9|modality|what modality?|ct\n"
+    )
+    convert_vqa_med(src, out)
+    train = json.loads((out / "train.json").read_text())
+    assert [len(x["vqa"]) for x in train] == [2, 1]  # img1 grouped, sorted first
+    assert train[0]["vqa"][0] == {"question": "what plane?", "answer": "axial"}
+    test = json.loads((out / "test.json").read_text())
+    assert test[0]["vqa"] == [{"question": "what modality?", "answer": "ct"}]
