@@ -224,25 +224,53 @@ def _decoder_layer(
                 )
         else:
             k_cache, v_cache = kv_cache
-            if use_pallas and os.environ.get("MMMM_KV_APPEND", "1") == "1":
+            # speculative verify windows (1 < s <= 8, bf16 cache, TPU): the
+            # k-row in-place append + windowed attention kernels. Without
+            # them the verify step paid BOTH a scatter-paired full-cache
+            # copy AND an XLA cache read at ~25% of roofline — the reason
+            # the r4 spec gauge LOST to greedy (17.03 vs 17.38 rep/s) while
+            # committing 2.9 tokens per weight pass. kv_len here is the
+            # affine verify contract (write + j + 1, speculate.py:171),
+            # which the window kernel derives from write_index.
+            use_window = (
+                1 < s <= 8
+                and kv_len.ndim == 2
+                and (attn_impl == "pallas"
+                     or (attn_impl == "auto" and jax.default_backend() == "tpu"))
+                and os.environ.get("MMMM_SPEC_KERNEL", "1") == "1"
+            )
+            if (use_pallas or use_window) and os.environ.get("MMMM_KV_APPEND", "1") == "1":
                 # in-place append kernel: the vmapped DUS below lowers to a
                 # scatter whose result feeding the Pallas read makes XLA copy
                 # the whole cache every step (~4.4 ms at B40 — the single
                 # largest decode-step term, PROBE_DECODE_r04.jsonl)
-                from ...ops.decode_kernel import kv_append_pallas
+                if s == 1:
+                    from ...ops.decode_kernel import kv_append_pallas
 
-                k_cache, v_cache = kv_append_pallas(
-                    k_cache, v_cache,
-                    jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), write_index,
-                )
+                    k_cache, v_cache = kv_append_pallas(
+                        k_cache, v_cache,
+                        jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), write_index,
+                    )
+                else:
+                    from ...ops.decode_kernel import kv_append_pallas_multi
+
+                    k_cache, v_cache = kv_append_pallas_multi(
+                        k_cache, v_cache,
+                        jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), write_index,
+                    )
             else:
                 k_cache = upd(k_cache, jnp.swapaxes(k, 1, 2), write_index)
                 v_cache = upd(v_cache, jnp.swapaxes(v, 1, 2), write_index)
+            ctx = None
             if use_pallas:
                 from ...ops.decode_kernel import decode_attention_pallas
 
                 ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
-            else:
+            elif use_window:
+                from ...ops.decode_kernel import decode_attention_pallas_window
+
+                ctx = decode_attention_pallas_window(q, k_cache, v_cache, write_index)
+            if ctx is None:  # XLA path, or the window's K+V exceeds VMEM
                 smax = k_cache.shape[2]
                 valid = jnp.arange(smax)[None, :] < kv_len[..., None]
                 ctx = decode_attention_bhsd(q, k_cache, v_cache, valid)

@@ -99,6 +99,87 @@ def kv_append_pallas(
     return kc, vc
 
 
+def _kv_append_multi_kernel(
+    widx_ref, knew_ref, vnew_ref, kblk_ref, vblk_ref, ko_ref, vo_ref,
+    *, n_new: int, n_blocks: int,
+):
+    """K-row variant of ``_kv_append_kernel`` for the speculative verify
+    window: blend rows [t, t+K) into the (up to two) aligned 8-slot blocks
+    covering them. Grid is (B, 2): cell j handles block ``min(t//8 + j,
+    n_blocks - 1)`` (the same clamped index the BlockSpec maps, so compute
+    and copy agree). When the window does not spill into a second block the
+    j=1 cell revisits j=0's block and recomputes the identical blend from
+    the elided (original) input — a harmless idempotent write."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    t = widx_ref[i]
+    blk = jnp.minimum(t // 8 + j, n_blocks - 1)
+    slot = blk * 8 + lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)  # (1, 8, 1)
+    out_k, out_v = kblk_ref[0], vblk_ref[0]  # (H, 8, D)
+    for r in range(n_new):
+        m = slot == t + r
+        out_k = jnp.where(m, knew_ref[0, :, r : r + 1, :], out_k)
+        out_v = jnp.where(m, vnew_ref[0, :, r : r + 1, :], out_v)
+    ko_ref[0] = out_k
+    vo_ref[0] = out_v
+
+
+def kv_append_pallas_multi(
+    k_cache: jnp.ndarray,  # (B, H, Smax, D)
+    v_cache: jnp.ndarray,  # (B, H, Smax, D)
+    k_new: jnp.ndarray,  # (B, H, K, D), K <= 8
+    v_new: jnp.ndarray,  # (B, H, K, D)
+    write_index: jnp.ndarray,  # (B,) first slot to write per sample
+    *,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-place K-token KV-cache append (speculative verify windows).
+
+    The spec verify loop otherwise appends its k-wide window with a vmapped
+    dynamic_update_slice — the same scatter whose pairing with the cache
+    read makes XLA materialize a full-cache copy per step (the r4 decode
+    bisect's ~4.4 ms term; the reason the r4 spec row LOST to greedy at
+    equal batch). Two aligned 8-slot blocks per sample move (~256 KB)
+    instead of the 2.9 GB cache. CPU/odd-Smax fall back to the DUS form
+    (``interpret=True`` forces the kernel semantics on CPU for tests)."""
+    b, h, smax, d = k_cache.shape
+    n_new = k_new.shape[2]
+    if (jax.default_backend() != "tpu" and not interpret) or smax % 8 or n_new > 8:
+        upd = jax.vmap(
+            lambda c, u, i: lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+        )
+        return upd(k_cache, k_new, write_index), upd(v_cache, v_new, write_index)
+
+    n_blocks = smax // 8
+
+    def blk_map(i, j, widx):
+        return (i, 0, jnp.minimum(widx[i] // 8 + j, n_blocks - 1), 0)
+
+    kc, vc = pl.pallas_call(
+        functools.partial(_kv_append_multi_kernel, n_new=n_new, n_blocks=n_blocks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, 2),
+            in_specs=[
+                pl.BlockSpec((1, h, n_new, d), lambda i, j, widx: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, n_new, d), lambda i, j, widx: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, 8, d), blk_map),
+                pl.BlockSpec((1, h, 8, d), blk_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, 8, d), blk_map),
+                pl.BlockSpec((1, h, 8, d), blk_map),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret and jax.default_backend() != "tpu",
+    )(write_index.astype(jnp.int32), k_new, v_new, k_cache, v_cache)
+    return kc, vc
+
+
 def _kv_append_q8_kernel(
     widx_ref,
     kqn_ref, ksn_ref, vqn_ref, vsn_ref,
@@ -309,6 +390,81 @@ def _decode_attention_pallas_q8_full(q, k_q, k_s, v_q, v_s, kv_len, *, scale):
         interpret=jax.default_backend() != "tpu",
     )(kv_len.astype(jnp.int32), qh, k_q, k_s, v_q, v_s)
     return out.reshape(b, 1, h, d)
+
+
+def _decode_window_kernel(widx_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """K-query verify-window decode attention (speculative decoding).
+
+    Query position j attends cache slots < write_index + j + 1 — causal
+    within the freshly-appended window, full over the prefix (the exact
+    ``kv_len = write + arange(1, k+1)`` contract of the spec verify loop,
+    ``models/speculate.py:171``). One grid cell per sample streams the whole
+    K+V once; the (S, D) x (D, K) logits and (K, S) x (S, D) context ride
+    the MXU in f32 (tiny vs the read stream), softmax masks per column."""
+    _, heads, smax, head_dim = k_ref.shape
+    nq = q_ref.shape[2]
+    t = widx_ref[pl.program_id(0)]
+    slot = lax.broadcasted_iota(jnp.int32, (smax, nq), 0)
+    qcol = lax.broadcasted_iota(jnp.int32, (smax, nq), 1)
+    valid = slot < t + qcol + 1  # (S, K)
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32)  # (K, D)
+        k = k_ref[0, h].astype(jnp.float32)  # (S, D)
+        v = v_ref[0, h].astype(jnp.float32)  # (S, D)
+        s = lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (S, K)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(valid, p, 0.0)
+        denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+        p = p / denom
+        o = lax.dot_general(
+            p, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, D)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def decode_attention_pallas_window(
+    q: jnp.ndarray,  # (B, K, H, D) — K verify-window queries
+    k_cache: jnp.ndarray,  # (B, H, Smax, D) with the window already appended
+    v_cache: jnp.ndarray,  # (B, H, Smax, D)
+    write_index: jnp.ndarray,  # (B,) first window slot per sample
+    *,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Returns (B, K, H, D). Speculative-verify attention at the single-token
+    kernel's bandwidth: the XLA bhsd path this replaces read the cache at
+    ~25% of the HBM roofline (and its scatter-paired append copied the whole
+    cache), which is why the r4 spec gauge lost to greedy. Falls back to
+    None (caller uses the XLA path) when one sample's K+V exceeds VMEM."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, nq, h, d = q.shape
+    smax = k_cache.shape[2]
+    full_bytes = 2 * h * smax * d * k_cache.dtype.itemsize
+    if full_bytes > _FULL_READ_VMEM_BUDGET:
+        return None
+    qh = jnp.swapaxes(q, 1, 2)  # (B, H, K, D)
+    out = pl.pallas_call(
+        functools.partial(_decode_window_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, nq, d), lambda i, widx: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, smax, d), lambda i, widx: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, smax, d), lambda i, widx: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, nq, d), lambda i, widx: (i, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(write_index.astype(jnp.int32), qh, k_cache, v_cache)
+    return jnp.swapaxes(out, 1, 2)
 
 
 def _decode_kernel_ragged(

@@ -272,3 +272,57 @@ def test_kv_append_q8_fallback_matches_dus():
            "vq": upd(vq, vqn, widx), "vs": upd(vs, vsn, widx)}
     for key in ("kq", "ks", "vq", "vs"):
         np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(ref[key]))
+
+
+def test_kv_append_multi_interpret_matches_dus():
+    """K-row spec-window append kernel (interpret semantics) == vmapped DUS,
+    covering both the no-spill case (t%8 + K <= 8) and the two-block spill;
+    the on-chip gate is scripts/verify_spec_kernels.py."""
+    from mmmm_tpu.ops.decode_kernel import kv_append_pallas_multi
+
+    rng = np.random.default_rng(5)
+    b, h, smax, d, k = 3, 2, 48, 128, 6
+    kc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(b, h, k, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(b, h, k, d)), jnp.bfloat16)
+    # row 0: aligned (no spill), row 1: spill across the 8-boundary,
+    # row 2: window ending exactly at smax (last block, spill)
+    widx = jnp.asarray([8, 13, smax - k], jnp.int32)
+    upd = jax.vmap(
+        lambda c, u, i: jax.lax.dynamic_update_slice_in_dim(c, u, i, axis=1)
+    )
+    want_k, want_v = upd(kc, kn, widx), upd(vc, vn, widx)
+    got_k, got_v = kv_append_pallas_multi(kc, vc, kn, vn, widx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_decode_window_kernel_matches_bhsd():
+    """Spec verify-window attention kernel == the XLA bhsd path under the
+    affine kv_len contract (position j sees slots < write + j + 1)."""
+    from mmmm_tpu.models.cogvlm.decoder import decode_attention_bhsd
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_window
+
+    rng = np.random.default_rng(7)
+    b, nq, h, smax, d = 2, 8, 4, 64, 128
+    q = jnp.asarray(rng.normal(size=(b, nq, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, h, smax, d)), jnp.bfloat16)
+    widx = jnp.asarray([10, 37], jnp.int32)
+    out = decode_attention_pallas_window(q, kc, vc, widx)
+    kv_len = widx[:, None] + jnp.arange(1, nq + 1)[None, :]  # (B, K)
+    valid = jnp.arange(smax)[None, :] < kv_len[..., None]
+    want = decode_attention_bhsd(q, kc, vc, valid)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_decode_window_kernel_vmem_fallback():
+    from mmmm_tpu.ops.decode_kernel import decode_attention_pallas_window
+
+    q = jnp.zeros((1, 8, 32, 128), jnp.bfloat16)
+    big = jnp.zeros((1, 32, 4096, 128), jnp.bfloat16)  # 64 MB K+V > VMEM
+    assert decode_attention_pallas_window(q, big, big, jnp.zeros((1,), jnp.int32)) is None

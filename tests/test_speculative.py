@@ -266,3 +266,28 @@ def test_speculative_value_on_templated_text():
           f"tokens_per_step={tps:.2f}")
     assert tps >= 3.0, (tps, iters)
     assert iters <= max_new // 3, (tps, iters)
+
+
+def test_speculative_pallas_window_path_matches_greedy():
+    """attn_impl='pallas' routes the verify window through the round-5 spec
+    kernels (k-row in-place append + windowed attention, interpret mode on
+    CPU) — tokens and hidden states must still match greedy exactly. Note the
+    window kernel's cache Smax must be 8-aligned for the append kernel on
+    TPU; the CPU interpret path exercises the same wiring."""
+    cfg, params = _tiny(11)
+    ids, tt, pos, image = _mm_prompt(cfg, 2)
+    patch, pool = (2, 4, 4), (1, 2, 2)
+    max_new = 14
+    kw = dict(
+        max_new_tokens=max_new, eos_token_id=2, bop_token_id=-1, eop_token_id=-1,
+        image=image, patch_size=patch, pool_size=pool,
+    )
+    res_g = greedy_generate(
+        params, cfg, ids, tt, pos, jnp.asarray([ids.shape[1]]),
+        attn_impl="xla", **kw,
+    )
+    res_s = ngram_speculative_generate(
+        params, cfg, ids, tt, pos, jnp.asarray([ids.shape[1]]),
+        draft_len=7, attn_impl="pallas", **kw,
+    )
+    _assert_same(res_g, res_s, max_new)
