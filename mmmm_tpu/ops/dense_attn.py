@@ -71,16 +71,14 @@ def fits_dense_kernel(s: int, d: int) -> bool:
     return _pick_bq(s_pad, d) is not None
 
 
-def _dense_fwd(q, k, v, scale):
-    b, s, h, d = q.shape
-    s_pad = -(-s // 128) * 128
+def _dense_fwd_bhsd(qt, kt, vt, scale, *, s_real: int):
+    """The raw pallas call on (B, H, Spad, D) inputs (already transposed and
+    S-padded); returns the same layout. Exposed so probes can time the kernel
+    with the layout moves hoisted out (scripts/tpu_probes.py vitattn)."""
+    b, h, s_pad, d = qt.shape
     bq = _pick_bq(s_pad, d)
-    qt, kt, vt = (
-        jnp.pad(jnp.swapaxes(t, 1, 2), ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-        for t in (q, k, v)
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, s_real=s),
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, s_real=s_real),
         grid=(b, h, s_pad // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
@@ -88,12 +86,22 @@ def _dense_fwd(q, k, v, scale):
             pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, i: (bi, hi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), vt.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(qt, kt, vt)
+
+
+def _dense_fwd(q, k, v, scale):
+    b, s, h, d = q.shape
+    s_pad = -(-s // 128) * 128
+    qt, kt, vt = (
+        jnp.pad(jnp.swapaxes(t, 1, 2), ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        for t in (q, k, v)
+    )
+    out = _dense_fwd_bhsd(qt, kt, vt, scale, s_real=s)
     return jnp.swapaxes(out[:, :, :s], 1, 2)  # (B, S, H, D)
 
 

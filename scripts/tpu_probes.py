@@ -523,6 +523,88 @@ def probe_prefill_bisect(out):
         run = None  # release the row's device inputs before the next build
 
 
+def probe_vitattn(out):
+    """Attribute the ViT attention term (prefill bisect r05: novitattn saves
+    ~283 ms of the 1264 ms B48 prefill, vs a ~80 ms matmul ceiling at D=88).
+    Three timings at the ViT shape (B from MMMM_PROBE_B, H=16, S=1153, D=88),
+    each a LAYERS-deep jitted scan:
+
+      kernel   dense_attention on inputs ALREADY in (B, H, Spad, D) — pads
+               and transposes hoisted out of the loop, so this is the pure
+               pallas cost;
+      layout   the full segment_attention path from the layer's natural
+               (B, S, H, D) — swapaxes + pad + kernel + unpad + swapback;
+      padded   the same full path with head_dim zero-padded 88 -> 128
+               (pad_attention_heads' runtime effect) — aligned lanes vs
+               +45% flops.
+
+    layout - kernel = the transpose/pad tax; if it dominates, the fix is a
+    layout-native kernel (or head padding if `padded` wins)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mmmm_tpu.ops import segment_attention
+    from mmmm_tpu.ops.dense_attn import dense_attention
+
+    b = int(os.environ.get("MMMM_PROBE_B", "12"))
+    h, s, d = 16, 1153, 88
+    layers = 6
+    scale = d ** -0.5
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (b, s, h, d)), jnp.bfloat16)
+    seg = jnp.ones((b, s), jnp.int32)
+
+    def timed(name, jfn, *args, flops):
+        np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))
+            best = min(best, time.time() - t0)
+        per = best / layers
+        rec = {"probe": "vitattn", "case": name, "batch": b,
+               "ms_per_layer": round(per * 1e3, 2),
+               "mfu": round(flops / per / 197e12, 3)}
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+    flops = 4 * b * s * s * (h * d)  # QK + PV matmuls per layer (true dims)
+
+    s_pad = -(-s // 128) * 128
+    qt = jnp.pad(jnp.swapaxes(q, 1, 2), ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+
+    @jax.jit
+    def run_kernel_bhsd(qt):
+        from mmmm_tpu.ops.dense_attn import _dense_fwd_bhsd
+
+        def body(c, _):
+            return _dense_fwd_bhsd(c, c, c, scale, s_real=s), ()
+        return lax.scan(body, qt, None, length=layers)[0]
+
+    @jax.jit
+    def run_layout(q):
+        def body(c, _):
+            return segment_attention(c, c, c, seg, impl="auto", scale=scale,
+                                     all_valid=True), ()
+        return lax.scan(body, q, None, length=layers)[0]
+
+    timed("kernel_bhsd", run_kernel_bhsd, qt, flops=flops)
+    timed("layout_full", run_layout, q, flops=flops)
+
+    d_pad = 128
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+
+    @jax.jit
+    def run_padded(qp):
+        def body(c, _):
+            return segment_attention(c, c, c, seg, impl="auto", scale=scale,
+                                     all_valid=True), ()
+        return lax.scan(body, qp, None, length=layers)[0]
+
+    timed("padded_d128", run_padded, qp, flops=flops)
+
+
 def probe_decode_bisect(out):
     """Attribute the decode-step wall clock (measured ~11 ms vs ~6.5 ms
     analytic at the serving config) by timing the REAL greedy decode scan
@@ -631,7 +713,8 @@ def probe_decode_bisect(out):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot",
-                                      "decodebisect", "prefillbisect"])
+                                      "decodebisect", "prefillbisect",
+                                      "vitattn"])
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
@@ -650,6 +733,8 @@ def main(argv=None):
         probe_decode_bisect(out)
     elif args.probe == "prefillbisect":
         probe_prefill_bisect(out)
+    elif args.probe == "vitattn":
+        probe_vitattn(out)
     else:
         probe_longctx(out)
     return out
