@@ -24,6 +24,12 @@ row() {
   fi
 }
 
+# 0. ViT attention attribution: kernel-vs-layout-vs-headpad (decides the
+#    round-5 ViT fix; bisect r05 shows attention ~283 ms vs ~80 ms ceiling)
+VOUT=/root/repo/PROBE_VITATTN_r05.jsonl
+row "$VOUT.log" "$VOUT" env MMMM_PROBE_B=12 python scripts/tpu_probes.py vitattn
+row "$VOUT.log" "$VOUT" env MMMM_PROBE_B=48 python scripts/tpu_probes.py vitattn
+
 OUT=/root/repo/SPEC_KERNELS_r05.log
 # 1. spec-kernel correctness gate + verify-step timing A/B
 row "$OUT" "$OUT" python scripts/verify_spec_kernels.py
