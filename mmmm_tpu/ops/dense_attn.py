@@ -94,8 +94,86 @@ def _dense_fwd_bhsd(qt, kt, vt, scale, *, s_real: int):
     )(qt, kt, vt)
 
 
+def _kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int,
+                 hgrp: int):
+    """Layout-native variant: blocks arrive in the layer's natural
+    (B, S, H, D) order carrying ``hgrp`` heads (sublane dim — 8 satisfies
+    the Mosaic last-two-dims rule where a single head would not), so the
+    HBM-level swapaxes+pad round trips of the bhsd path disappear; the
+    per-head (S, D) views are VMEM sublane shuffles (~13 ms total at B48
+    vs ~100+ ms of HBM transposes). Math identical to ``_kernel``."""
+    for h in range(hgrp):
+        q = q_ref[0, :, h, :]  # (bq, D)
+        k = k_ref[0, :, h, :]  # (Sp, D)
+        v = v_ref[0, :, h, :]
+        s = scale * lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, Sp)
+        sp = k.shape[0]
+        if s_real < sp:
+            kpos = lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+            s = jnp.where(kpos < s_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h, :] = lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _pick_bq_bshd(s_pad: int, d: int, hgrp: int) -> int | None:
+    d_phys = -(-d // 128) * 128  # VMEM pads lanes to 128
+    for bq in (640, 512, 384, 256, 128):
+        if s_pad % bq:
+            continue
+        need = (2 * s_pad * hgrp * d_phys * 2      # K + V blocks
+                + 2 * bq * hgrp * d_phys * 2       # q + out blocks
+                + bq * s_pad * (4 + 2))            # fp32 logits + bf16 probs
+        if need <= _VMEM_BUDGET:
+            return bq
+    return None
+
+
+def _dense_fwd_bshd(q, k, v, scale):
+    """(B, S, H, D) in/out with no HBM transposes: pad S only, grid
+    (B, H/hgrp, S/bq); K/V blocks are constant across the innermost q-block
+    axis so they stream once per (sample, head-group)."""
+    b, s, h, d = q.shape
+    s_pad = -(-s // 128) * 128
+    hgrp = 8
+    bq = _pick_bq_bshd(s_pad, d, hgrp)
+    qp, kp, vp = (
+        jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))) for t in (q, k, v)
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_bshd, scale=scale, s_real=s, hgrp=hgrp),
+        grid=(b, h // hgrp, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hgrp, d), lambda bi, hi, i: (bi, i, hi, 0)),
+            pl.BlockSpec((1, s_pad, hgrp, d), lambda bi, hi, i: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, s_pad, hgrp, d), lambda bi, hi, i: (bi, 0, hi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hgrp, d), lambda bi, hi, i: (bi, i, hi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h, d), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :s]
+
+
+def fits_dense_bshd(s: int, h: int, d: int) -> bool:
+    s_pad = -(-s // 128) * 128
+    return h % 8 == 0 and _pick_bq_bshd(s_pad, d, 8) is not None
+
+
 def _dense_fwd(q, k, v, scale):
     b, s, h, d = q.shape
+    import os
+
+    if os.environ.get("MMMM_DENSE_BSHD", "0") == "1" and fits_dense_bshd(s, h, d):
+        return _dense_fwd_bshd(q, k, v, scale)
     s_pad = -(-s // 128) * 128
     qt, kt, vt = (
         jnp.pad(jnp.swapaxes(t, 1, 2), ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))

@@ -592,6 +592,16 @@ def probe_vitattn(out):
     timed("kernel_bhsd", run_kernel_bhsd, qt, flops=flops)
     timed("layout_full", run_layout, q, flops=flops)
 
+    from mmmm_tpu.ops.dense_attn import _dense_fwd_bshd
+
+    @jax.jit
+    def run_bshd(q):
+        def body(c, _):
+            return _dense_fwd_bshd(c, c, c, scale), ()
+        return lax.scan(body, q, None, length=layers)[0]
+
+    timed("bshd_native", run_bshd, q, flops=flops)
+
     d_pad = 128
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
 

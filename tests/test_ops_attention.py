@@ -326,3 +326,26 @@ def test_decode_window_kernel_vmem_fallback():
     q = jnp.zeros((1, 8, 32, 128), jnp.bfloat16)
     big = jnp.zeros((1, 32, 4096, 128), jnp.bfloat16)  # 64 MB K+V > VMEM
     assert decode_attention_pallas_window(q, big, big, jnp.zeros((1,), jnp.int32)) is None
+
+
+def test_dense_bshd_layout_variant_matches(monkeypatch):
+    """MMMM_DENSE_BSHD=1 routes dense_attention through the layout-native
+    (B,S,H,D) kernel — results must match the bhsd-layout path (interpret
+    mode; on-chip A/B is PROBE_VITATTN_r05 / queue C)."""
+    from mmmm_tpu.ops.dense_attn import dense_attention, fits_dense_bshd
+
+    rng = np.random.default_rng(9)
+    b, s, h, d = 2, 200, 16, 88
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    scale = d ** -0.5
+    assert fits_dense_bshd(s, h, d)
+    monkeypatch.delenv("MMMM_DENSE_BSHD", raising=False)
+    base = dense_attention(q, k, v, scale)
+    monkeypatch.setenv("MMMM_DENSE_BSHD", "1")
+    bshd = dense_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(bshd, np.float32), np.asarray(base, np.float32),
+        rtol=0.05, atol=0.05,
+    )
