@@ -35,7 +35,35 @@ NEG_INF = -1e30
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
+def _fast_softmax() -> bool:
+    import os
+
+    return os.environ.get("MMMM_DENSE_FAST_SOFTMAX", "0") == "1"
+
+
+def _softmax_rows(s, v, out_dtype, fast: bool):
+    """Shared softmax+PV tail. ``fast``: the (bq, Sp) logit tile is where
+    the VPU ops/element budget lives (vitattn probe: the kernel runs at ~8%
+    MFU because softmax VPU work, not the matmuls, dominates at S=1153), so
+    (a) exp runs on bf16 operands (packed 2/lane) and (b) the row
+    normalization moves to the (bq, D) OUTPUT of the PV matmul — Sp/D ~ 15x
+    fewer divides. The bf16-exp relative error (~0.4%) is far inside the
+    bf16 output rounding; MMMM_DENSE_FAST_SOFTMAX=0 restores the f32 form."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    if fast:
+        p = jnp.exp((s - m).astype(jnp.bfloat16))
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return (o / denom).astype(out_dtype)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int,
+            fast_softmax: bool = False):
     q = q_ref[0, 0]  # (bq, D)
     k = k_ref[0, 0]  # (Sp, D)
     v = v_ref[0, 0]
@@ -46,12 +74,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int):
     if s_real < sp:  # mask the padded tail columns
         kpos = lax.broadcasted_iota(jnp.int32, (1, sp), 1)
         s = jnp.where(kpos < s_real, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0, 0] = lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    o_ref[0, 0] = _softmax_rows(s, v, o_ref.dtype, fast_softmax)
 
 
 def _pick_bq(s_pad: int, d: int) -> int | None:
@@ -78,7 +101,8 @@ def _dense_fwd_bhsd(qt, kt, vt, scale, *, s_real: int):
     b, h, s_pad, d = qt.shape
     bq = _pick_bq(s_pad, d)
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, s_real=s_real),
+        functools.partial(_kernel, scale=scale, s_real=s_real,
+                          fast_softmax=_fast_softmax()),
         grid=(b, h, s_pad // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
@@ -95,7 +119,7 @@ def _dense_fwd_bhsd(qt, kt, vt, scale, *, s_real: int):
 
 
 def _kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int,
-                 hgrp: int):
+                 hgrp: int, fast_softmax: bool = False):
     """Layout-native variant: blocks arrive in the layer's natural
     (B, S, H, D) order carrying ``hgrp`` heads (sublane dim — 8 satisfies
     the Mosaic last-two-dims rule where a single head would not), so the
@@ -113,12 +137,7 @@ def _kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_real: int,
         if s_real < sp:
             kpos = lax.broadcasted_iota(jnp.int32, (1, sp), 1)
             s = jnp.where(kpos < s_real, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, h, :] = lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        o_ref[0, :, h, :] = _softmax_rows(s, v, o_ref.dtype, fast_softmax)
 
 
 def _pick_bq_bshd(s_pad: int, d: int, hgrp: int) -> int | None:
@@ -146,7 +165,8 @@ def _dense_fwd_bshd(q, k, v, scale):
         jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))) for t in (q, k, v)
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_bshd, scale=scale, s_real=s, hgrp=hgrp),
+        functools.partial(_kernel_bshd, scale=scale, s_real=s, hgrp=hgrp,
+                          fast_softmax=_fast_softmax()),
         grid=(b, h // hgrp, s_pad // bq),
         in_specs=[
             pl.BlockSpec((1, bq, hgrp, d), lambda bi, hi, i: (bi, i, hi, 0)),

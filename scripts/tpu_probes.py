@@ -592,15 +592,89 @@ def probe_vitattn(out):
     timed("kernel_bhsd", run_kernel_bhsd, qt, flops=flops)
     timed("layout_full", run_layout, q, flops=flops)
 
-    from mmmm_tpu.ops.dense_attn import _dense_fwd_bshd
+    from mmmm_tpu.ops import dense_attn as da
 
     @jax.jit
     def run_bshd(q):
         def body(c, _):
-            return _dense_fwd_bshd(c, c, c, scale), ()
+            return da._dense_fwd_bshd(c, c, c, scale), ()
         return lax.scan(body, q, None, length=layers)[0]
 
     timed("bshd_native", run_bshd, q, flops=flops)
+
+    # fast softmax (bf16 exp + post-matmul normalization) on both layouts —
+    # the probe's kernel MFU (~8%) implies the softmax VPU chain, not the
+    # matmuls, dominates; these rows measure the recovered fraction
+    os.environ["MMMM_DENSE_FAST_SOFTMAX"] = "1"
+    try:
+        @jax.jit
+        def run_kernel_fast(qt):
+            def body(c, _):
+                return da._dense_fwd_bhsd(c, c, c, scale, s_real=s), ()
+            return lax.scan(body, qt, None, length=layers)[0]
+
+        timed("kernel_bhsd_fastsm", run_kernel_fast, qt, flops=flops)
+
+        @jax.jit
+        def run_bshd_fast(q):
+            def body(c, _):
+                return da._dense_fwd_bshd(c, c, c, scale), ()
+            return lax.scan(body, q, None, length=layers)[0]
+
+        timed("bshd_fastsm", run_bshd_fast, q, flops=flops)
+    finally:
+        os.environ.pop("MMMM_DENSE_FAST_SOFTMAX", None)
+
+    # matmul floor: same kernel with softmax replaced by a cheap rescale
+    # (keeps both MXU dots + mask live) — the attention cost that would
+    # remain if softmax were free
+    import functools as _ft
+
+    from jax.experimental import pallas as _pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    def _kernel_nosm(q_ref, k_ref, v_ref, o_ref, *, scale, s_real):
+        import jax.numpy as _jnp
+        from jax import lax as _lax
+
+        qq = q_ref[0, 0]
+        kk = k_ref[0, 0]
+        vv = v_ref[0, 0]
+        st = scale * _lax.dot_general(
+            qq, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=_jnp.float32)
+        sp = kk.shape[0]
+        kpos = _lax.broadcasted_iota(_jnp.int32, (1, sp), 1)
+        st = _jnp.where(kpos < s_real, st, 0.0)
+        p = st * 1e-4  # stand-in for softmax: one multiply
+        o_ref[0, 0] = _lax.dot(
+            p.astype(vv.dtype), vv, preferred_element_type=_jnp.float32
+        ).astype(o_ref.dtype)
+
+    def nosm_fwd(qt):
+        bq = da._pick_bq(s_pad, d)
+        return _pl.pallas_call(
+            _ft.partial(_kernel_nosm, scale=scale, s_real=s),
+            grid=(b, h, s_pad // bq),
+            in_specs=[
+                _pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
+                _pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, i: (bi, hi, 0, 0)),
+                _pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, i: (bi, hi, 0, 0)),
+            ],
+            out_specs=_pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.bfloat16),
+            compiler_params=_pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+        )(qt, qt, qt)
+
+    @jax.jit
+    def run_nosm(qt):
+        def body(c, _):
+            return nosm_fwd(c), ()
+        return lax.scan(body, qt, None, length=layers)[0]
+
+    timed("kernel_nosoftmax", run_nosm, qt, flops=flops)
 
     d_pad = 128
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))

@@ -349,3 +349,25 @@ def test_dense_bshd_layout_variant_matches(monkeypatch):
         np.asarray(bshd, np.float32), np.asarray(base, np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+def test_dense_fast_softmax_matches(monkeypatch):
+    """MMMM_DENSE_FAST_SOFTMAX=1 (bf16 exp + post-matmul normalization) must
+    track the f32 softmax within bf16 output tolerance on both layouts."""
+    from mmmm_tpu.ops.dense_attn import dense_attention
+
+    rng = np.random.default_rng(13)
+    b, s, h, d = 2, 200, 16, 88
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+               for _ in range(3))
+    scale = d ** -0.5
+    monkeypatch.delenv("MMMM_DENSE_FAST_SOFTMAX", raising=False)
+    base = dense_attention(q, k, v, scale)
+    monkeypatch.setenv("MMMM_DENSE_FAST_SOFTMAX", "1")
+    for layout in ("0", "1"):
+        monkeypatch.setenv("MMMM_DENSE_BSHD", layout)
+        fast = dense_attention(q, k, v, scale)
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32), np.asarray(base, np.float32),
+            rtol=0.05, atol=0.05,
+        )
