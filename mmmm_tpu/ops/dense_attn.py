@@ -156,7 +156,17 @@ def _pick_bq_bshd(s_pad: int, d: int, hgrp: int) -> int | None:
 def _dense_fwd_bshd(q, k, v, scale):
     """(B, S, H, D) in/out with no HBM transposes: pad S only, grid
     (B, H/hgrp, S/bq); K/V blocks are constant across the innermost q-block
-    axis so they stream once per (sample, head-group)."""
+    axis so they stream once per (sample, head-group).
+
+    MEASURED NEGATIVE RESULT (2026-08-20 on-chip): Mosaic cannot lower the
+    per-head sublane view ``q_ref[0, :, h, :]`` of an (bq, 8, 88) block —
+    "infer-vector-layout: unsupported shape cast" — AND the motivating
+    hypothesis died the same day: PROBE_VITATTN_r05 shows the bhsd kernel
+    with layouts hoisted runs at the same speed as the full transpose path
+    (11.09 vs 11.31 ms/layer at B48), i.e. the transposes the bshd layout
+    avoids are nearly free; the kernel itself (softmax VPU chain) is the
+    cost. Kept interpret-mode-correct for documentation; MMMM_DENSE_BSHD
+    stays default-off."""
     b, s, h, d = q.shape
     s_pad = -(-s // 128) * 128
     hgrp = 8

@@ -556,7 +556,14 @@ def probe_vitattn(out):
     seg = jnp.ones((b, s), jnp.int32)
 
     def timed(name, jfn, *args, flops):
-        np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))  # compile + warm
+        try:
+            np.asarray(jnp.sum(jfn(*args).astype(jnp.float32)))  # compile + warm
+        except Exception as e:  # noqa: BLE001 — a case that cannot lower IS a result
+            rec = {"probe": "vitattn", "case": name, "batch": b,
+                   "error": f"{type(e).__name__}: {str(e)[:160]}"}
+            print(json.dumps(rec), flush=True)
+            out.append(rec)
+            return
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
