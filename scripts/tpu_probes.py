@@ -696,6 +696,122 @@ def probe_vitattn(out):
     timed("padded_d128", run_padded, qp, flops=flops)
 
 
+def probe_train_bisect(out):
+    """Attribute the 1.4b train step (r4 gauge: 839 ms, MFU 0.24 at B8
+    S1024 remat=attn — four rounds of serving bisects, zero for training;
+    VERDICT r4 weak #3). Trace-time monkeypatch ablations with data deps
+    kept (one variant per process via MMMM_PROBE_VARIANT):
+
+      full       unmodified LoRA train step (the gauge program)
+      novit      ViT fwd+bwd -> broadcast (patch via models/cogvlm/model.py,
+                 which binds vit_forward at module level)
+      noattn     ALL segment_attention (LLM flash fwd + custom-VJP bwd, ViT
+                 dense) -> q passthrough
+      nollmattn  LLM segment_attention only
+      noce       fused blockwise CE (32k-vocab logits + logsumexp, fwd+bwd)
+                 -> cheap reduction
+
+    Component cost = ms(full) - ms(variant); overlaps mean parts need not
+    sum to the total."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmmm_tpu.models import MMMMConfig, MMMMModel
+    from mmmm_tpu.models import mmmm as mmmm_mod
+    from mmmm_tpu.models.cogvlm import VisionConfig, CogVLMConfig
+    from mmmm_tpu.models.cogvlm import decoder as dec_mod
+    from mmmm_tpu.models.cogvlm import model as cvm_mod
+    from mmmm_tpu.models.cogvlm import vit as vit_mod
+    from mmmm_tpu.models.segvol import SamConfig
+    from mmmm_tpu.peft import LoraConfig
+    from mmmm_tpu.train import (
+        OptimizerConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = MMMMConfig(
+        vlm=CogVLMConfig(
+            vocab_size=32008, hidden_size=2048, intermediate_size=5504,
+            num_hidden_layers=12, num_attention_heads=16,
+            vision=VisionConfig(
+                hidden_size=1024, intermediate_size=4096, num_hidden_layers=12,
+                num_heads=16, patch_size=(16, 16, 16), pos_embed_shape=(8, 32, 32),
+            ),
+        ),
+        sam=SamConfig(),
+    )
+    b, s, nv = 8, 1024, 146
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(4, 32000, size=(b, s)), jnp.int32),
+        "token_type_ids": jnp.zeros((b, s), jnp.int32).at[:, 1 : 1 + nv].set(1),
+        "position_ids": jnp.broadcast_to(jnp.arange(s), (b, s)).astype(jnp.int32),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.full((b, s), -100, jnp.int32).at[:, nv + 2 :].set(7),
+        "weight": jnp.ones((b, s), jnp.float32),
+        "image": jnp.ones((b, 3, 16, 384, 384), jnp.float32),
+        "patch_size": (16, 16, 16),
+        "pool_size": (1, 2, 2),
+    }
+    h_llm = cfg.vlm.hidden_size
+
+    def keepdep_attn(q, k, v, seg, **kw):
+        dep = (jnp.sum(k, axis=-1, keepdims=True)
+               + jnp.sum(v, axis=-1, keepdims=True)).astype(jnp.float32)
+        return (q.astype(jnp.float32) + dep * 1e-30).astype(q.dtype)
+
+    def cheap_vit(p, c, im, patch_size, pool_size, **kw):
+        dep = jnp.sum(im.astype(jnp.float32)) * 1e-12
+        leaves = jax.tree_util.tree_leaves(p)
+        dep = dep + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) * 1e-12
+        return jnp.full((im.shape[0], nv, h_llm), 0.01,
+                        jnp.bfloat16) + dep.astype(jnp.bfloat16)
+
+    def cheap_ce(hidden, head, labels, weight=None):
+        dep = jnp.sum(hidden.astype(jnp.float32)) * 1e-9
+        return dep + jnp.sum(head.astype(jnp.float32)) * 1e-12
+
+    variants = {
+        "full": [],
+        "novit": [(cvm_mod, "vit_forward", cheap_vit)],
+        "noattn": [(dec_mod, "segment_attention", keepdep_attn),
+                   (vit_mod, "segment_attention", keepdep_attn)],
+        "nollmattn": [(dec_mod, "segment_attention", keepdep_attn)],
+        "noce": [(mmmm_mod, "fused_weighted_ce_loss", cheap_ce)],
+    }
+    only = os.environ.get("MMMM_PROBE_VARIANT")
+    for name, patches in variants.items():
+        if only and name != only:
+            continue
+        saved = [(mod, attr, getattr(mod, attr)) for mod, attr, _ in patches]
+        for mod, attr, repl in patches:
+            setattr(mod, attr, repl)
+        try:
+            model = MMMMModel(cfg)
+            opt = make_optimizer(OptimizerConfig(lr=5e-5, warmup_steps=10,
+                                                 max_steps=1000))
+            lcfg = LoraConfig(r=64, alpha=8)
+            state, frozen = init_train_state(
+                jax.random.PRNGKey(0), model, opt, lcfg, frozen_vlm_bf16=True
+            )
+            step = make_train_step(model, opt, lcfg, vg_mode="none",
+                                   bf16_vlm=True, attn_impl="auto", remat="attn")
+            state, logs = step(state, frozen, batch)  # compile + warm
+            np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))
+            t0 = time.time()
+            for _ in range(3):
+                state, logs = step(state, frozen, batch)
+            np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))
+            dt = (time.time() - t0) / 3
+        finally:
+            for mod, attr, orig in saved:
+                setattr(mod, attr, orig)
+        rec = {"probe": "train_bisect", "variant": name, "batch": b, "seq": s,
+               "ms": round(dt * 1e3, 1)}
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+        state = frozen = step = None  # release before the next variant
+
+
 def probe_decode_bisect(out):
     """Attribute the decode-step wall clock (measured ~11 ms vs ~6.5 ms
     analytic at the serving config) by timing the REAL greedy decode scan
@@ -805,7 +921,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("probe", choices=["ragged", "longctx", "stages", "qdot",
                                       "decodebisect", "prefillbisect",
-                                      "vitattn"])
+                                      "vitattn", "trainbisect"])
     ap.add_argument("--only", default=None,
                     help="stages probe: measure one stage in this process")
     args = ap.parse_args(argv)
@@ -826,6 +942,8 @@ def main(argv=None):
         probe_prefill_bisect(out)
     elif args.probe == "vitattn":
         probe_vitattn(out)
+    elif args.probe == "trainbisect":
+        probe_train_bisect(out)
     else:
         probe_longctx(out)
     return out
