@@ -419,7 +419,10 @@ def probe_stages(out, only: str | None = None):
             jnp.bfloat16,
         )
         positions = jnp.zeros((b, 4), jnp.int32)
-        g_image = jnp.ones((b, 3, 32, 256, 256), jnp.float32)
+        # uint8 like the serving path (the stage casts to fp32 in-graph); a
+        # resident fp32 copy is 4.8 GB at B48 — the r4 sam-row OOM was this
+        # probe artifact, not the serving stage
+        g_image = jnp.ones((b, 3, 32, 256, 256), jnp.uint8)
         stage = _grounding_stage(cfg, (16, 16, 16), False, "auto")
         timed(
             "sam",
