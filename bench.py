@@ -412,18 +412,38 @@ def _gauge_long() -> dict:
     lkv = LONG_KV or KV_DTYPE
     os.environ["MMMM_DECODE_UNROLL"] = os.environ.get("MMMM_BENCH_LONG_UNROLL", "1")
     params, cfg, tokenizer = build_params()
-    lrun, _ = build_run(
-        params, cfg, tokenizer, lb, LONG_NEW_TOKENS, lkv, LONG_CHUNK
-    )
-    lrun()  # compile
-    t0 = time.time()
-    lrun()
-    ldt = time.time() - t0
-    return {
-        "value": round(lb / ldt, 3), "unit": "reports/sec/chip",
-        "mfu": round(sum(_matmul_flops(cfg, lb, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
-        "batch": lb, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
-    }
+    # The 512-step program has hit the remote-compiler memory ceiling in two
+    # rounds (HTTP 500); a number at a degraded config beats a null row, so
+    # walk a fallback ladder: configured -> ragged decode reads (smaller
+    # scoped-VMEM footprint at smax=704) -> half batch (+ragged).
+    ladder = [
+        (lb, {}),
+        (lb, {"MMMM_RAGGED_DECODE": "1"}),
+        (max(8, lb // 2), {"MMMM_RAGGED_DECODE": "1"}),
+    ]
+    last = None
+    for b_try, env in ladder:
+        os.environ.update(env)
+        try:
+            lrun, _ = build_run(
+                params, cfg, tokenizer, b_try, LONG_NEW_TOKENS, lkv, LONG_CHUNK
+            )
+            lrun()  # compile
+            t0 = time.time()
+            lrun()
+            ldt = time.time() - t0
+            return {
+                "value": round(b_try / ldt, 3), "unit": "reports/sec/chip",
+                "mfu": round(sum(_matmul_flops(cfg, b_try, PROMPT_LEN, LONG_NEW_TOKENS, N_VIS)) / ldt / V5E_PEAK_BF16, 4),
+                "batch": b_try, "new_tokens": LONG_NEW_TOKENS, "kv_cache": lkv,
+                **({"fallback": env} if env or b_try != lb else {}),
+            }
+        except Exception as e:  # noqa: BLE001 — try the next rung
+            last = f"{type(e).__name__}: {str(e)[:200]}"
+            lrun = None  # noqa: F841 — release device inputs before the next rung
+            print(f"[bench] long rung b={b_try} {env} failed: {last}",
+                  file=sys.stderr, flush=True)
+    raise RuntimeError(f"long gauge: every ladder rung failed; last: {last}")
 
 
 def _gauge_spec() -> dict:
@@ -431,13 +451,23 @@ def _gauge_spec() -> dict:
     headline batch (the spec path prefills chunked too). Caveat travels with
     the row: random-weight acceptance is unrepresentative of real reports —
     tests/test_speculative.py pins the structured-text value instead."""
-    sb = BATCH
     params, cfg, tokenizer = build_params()
-    srun, _ = build_run(
-        params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
-        PREFILL_CHUNK, spec=SPEC_ROW,
-    )
-    sres = srun()  # compile
+    srun = None
+    for sb in dict.fromkeys((BATCH, 24)):  # fallback: the r4 spec row OOM'd
+        chunk = PREFILL_CHUNK if PREFILL_CHUNK < sb else 0
+        try:
+            srun, _ = build_run(
+                params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
+                chunk, spec=SPEC_ROW,
+            )
+            sres = srun()  # compile
+            break
+        except Exception as e:  # noqa: BLE001
+            srun = None  # release device inputs before the fallback batch
+            print(f"[bench] spec rung b={sb} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+    if srun is None:
+        raise RuntimeError("spec gauge: every batch rung failed")
     t0 = time.time()
     sres = srun()
     sdt = time.time() - t0

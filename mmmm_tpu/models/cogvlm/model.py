@@ -50,18 +50,33 @@ def cogvlm_forward(
     remat: bool = False,
     return_kv: bool = False,
     return_logits: bool = True,
+    vis_span: tuple[int, int] | str | None = None,
 ):
     """Returns (hidden_states, logits_fp32[, kv]) for a full packed sequence.
 
     ``return_logits=False`` skips the dense (B, S, V) fp32 projection and
     returns ``(hidden, None[, kv])`` — the training step computes the LM loss
-    through the fused blockwise CE instead (``ops/fused_ce.py``)."""
+    through the fused blockwise CE instead (``ops/fused_ce.py``).
+
+    ``vis_span``: static vision-token span for single-expert routing (see
+    ``llm_forward``). ``"auto"`` derives ``(1, 1 + n_vis)`` from the spliced
+    vision width — exact under the data layer's layout guarantee
+    (``input_builder.prepare_vlm_inputs``: vision-typed tokens are ALWAYS
+    [1, 1 + n_img) when an image is present, matching the reference splice
+    ``modeling_cogvlm.py:449-453``) — and falls back to the dual masked
+    matmuls for text-only batches. Halves expert matmul FLOPs; training
+    previously always paid the dual dense path (both experts for every
+    token) even though every image bucket satisfies the layout."""
     emb = params["llm"]["embed_tokens"][input_ids]
     if image is not None:
         vis = vit_forward(
             params["vision"], cfg, image, patch_size, pool_size, attn_impl=attn_impl, remat=remat
         )
         emb = splice_vision_embeds(emb, vis)
+        if vis_span == "auto":
+            vis_span = (1, 1 + vis.shape[1])
+    elif vis_span == "auto":
+        vis_span = None
     out = llm_forward(
         params["llm"],
         cfg,
@@ -72,6 +87,7 @@ def cogvlm_forward(
         attn_impl=attn_impl,
         remat=remat,
         return_kv=return_kv,
+        vis_span=vis_span,
     )
     hidden = out[0] if return_kv else out
     from ...ops.quant import qdot

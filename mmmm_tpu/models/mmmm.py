@@ -111,7 +111,7 @@ class MMMMModel:
         return init_mmmm_params(key, self.cfg, dtype)
 
     def vlm_forward(self, params, batch, *, attn_impl="auto", remat=False,
-                    return_logits=True):
+                    return_logits=True, vis_span=None):
         return cogvlm_forward(
             params["cogvlm"],
             self.cfg.vlm,
@@ -125,6 +125,10 @@ class MMMMModel:
             attn_impl=attn_impl,
             remat=remat,
             return_logits=return_logits,
+            # static single-expert routing over the image span (exact under
+            # the input_builder layout guarantee; halves expert FLOPs — the
+            # r4 train gauge paid the dual dense path for every token)
+            vis_span=vis_span,
         )
 
     def training_step(
@@ -135,6 +139,7 @@ class MMMMModel:
         vg_mode: str = "none",  # static: "none" | "semantic" | "instance"
         attn_impl: str = "auto",
         remat: bool = False,
+        vis_span: tuple[int, int] | str | None = None,
     ) -> tuple[jnp.ndarray, dict[str, Any]]:
         """One loss evaluation (``mmmm.py:296-352``).
 
@@ -158,7 +163,8 @@ class MMMMModel:
         # at flagship scale that buffer (~2 GB with the log-softmax temp) is
         # the largest single activation in the step
         hidden, _ = self.vlm_forward(
-            params, batch, attn_impl=attn_impl, remat=remat, return_logits=False
+            params, batch, attn_impl=attn_impl, remat=remat, return_logits=False,
+            vis_span=vis_span,
         )
         lm_loss = fused_weighted_ce_loss(
             hidden, params["cogvlm"]["llm"]["lm_head"],

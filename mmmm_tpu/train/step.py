@@ -101,8 +101,14 @@ def make_step_fn(
     attn_impl: str = "auto",
     remat: bool = True,
     dropout_seed: int | None = 0,
+    vis_span: tuple[int, int] | str | None = None,
 ) -> Callable:
-    """The pure (unjitted) step_fn(state, frozen, batch) -> (state, logs)."""
+    """The pure (unjitted) step_fn(state, frozen, batch) -> (state, logs).
+
+    ``vis_span="auto"`` enables static single-expert routing over the image
+    span (exact for batches from ``input_builder.prepare_vlm_inputs``, which
+    always places vision-typed tokens at [1, 1+n_img)); without it every
+    token pays BOTH experts' matmuls — ~2x the executed expert FLOPs."""
 
     use_dropout = dropout_seed is not None and lora_cfg.dropout > 0.0
 
@@ -117,7 +123,8 @@ def make_step_fn(
         def loss_fn(trainable):
             params = effective_params(trainable, frozen, lora_cfg, bf16_vlm, dropout_rng=drng)
             return model.training_step(
-                params, batch, vg_mode=vg_mode, attn_impl=attn_impl, remat=remat
+                params, batch, vg_mode=vg_mode, attn_impl=attn_impl, remat=remat,
+                vis_span=vis_span,
             )
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
@@ -155,6 +162,7 @@ def make_train_step(
     batch_example: dict | None = None,
     donate: bool = True,
     dropout_seed: int | None = 0,
+    vis_span: tuple[int, int] | str | None = None,
 ) -> Callable:
     """Build the jitted step(state, frozen, batch) -> (state, logs).
 
@@ -165,6 +173,7 @@ def make_train_step(
     step_fn = make_step_fn(
         model, optimizer, lora_cfg, vg_mode=vg_mode, bf16_vlm=bf16_vlm,
         attn_impl=attn_impl, remat=remat, dropout_seed=dropout_seed,
+        vis_span=vis_span,
     )
 
     @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,) if donate else ())
@@ -253,6 +262,7 @@ def lower_train_step(
     bf16_vlm: bool = True,
     attn_impl: str = "xla",
     remat: bool = True,
+    vis_span: tuple[int, int] | str | None = None,
 ):
     """AOT-lower the sharded train step at abstract shapes (no execution).
 
@@ -264,7 +274,7 @@ def lower_train_step(
 
     step_fn = make_step_fn(
         model, optimizer, lora_cfg, vg_mode=vg_mode, bf16_vlm=bf16_vlm,
-        attn_impl=attn_impl, remat=remat,
+        attn_impl=attn_impl, remat=remat, vis_span=vis_span,
     )
 
     @partial(jax.jit, static_argnums=(3, 4))

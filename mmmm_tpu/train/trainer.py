@@ -47,6 +47,13 @@ class TrainerConfig:
     frozen_vlm_bf16: bool = True
     remat: bool = True
     attn_impl: str = "auto"
+    # static single-expert routing over the image span: "auto" is exact for
+    # batches built by input_builder.prepare_vlm_inputs (vision-typed tokens
+    # are always [1, 1+n_img)) and halves the expert matmul FLOPs that the
+    # dual dense path pays twice. The trainer's batches all come from that
+    # builder, so "auto" is the default; set None for data that violates the
+    # single-image layout.
+    vis_span: tuple[int, int] | str | None = "auto"
     keep_ckpts: int | None = None
     # jax.profiler trace window [start, end) in steps; traces land in
     # <out_dir>/profile for xprof/tensorboard (SURVEY aux #1: the reference has
@@ -116,6 +123,7 @@ class Trainer:
                 bf16_vlm=cfg.bf16_vlm,
                 attn_impl=cfg.attn_impl,
                 remat=cfg.remat,
+                vis_span=cfg.vis_span,
                 mesh=self.mesh,
             )
             for mode in ("none", "semantic", "instance")

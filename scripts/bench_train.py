@@ -103,9 +103,12 @@ def main(argv=None):
         jax.random.PRNGKey(0), model, opt, lcfg, frozen_vlm_bf16=True
     )
     remat = {"attn": "attn", "full": True, "none": False}[args.remat]
+    # static expert-span routing (exact for the input_builder layout this
+    # batch mirrors; MMMM_TRAIN_SPAN=0 A/Bs the old dual dense path)
+    span = "auto" if os.environ.get("MMMM_TRAIN_SPAN", "1") == "1" else None
     step = make_train_step(
         model, opt, lcfg, vg_mode=args.vg, bf16_vlm=True, attn_impl="auto",
-        remat=remat,
+        remat=remat, vis_span=span,
     )
 
     b, s, nv = args.batch, args.seq, args.vis
@@ -179,6 +182,7 @@ def main(argv=None):
         "mfu": round(flops / dt / 197e12, 4),
         "remat": args.remat,
         "vg_mode": args.vg,
+        "expert_span": span is not None,
         "batch": b, "seq": s,
         "loss": float(np.asarray(logs.get("loss", logs["lm_loss"]))),
     }))

@@ -796,8 +796,11 @@ def probe_train_bisect(out):
             state, frozen = init_train_state(
                 jax.random.PRNGKey(0), model, opt, lcfg, frozen_vlm_bf16=True
             )
+            span = ("auto" if os.environ.get("MMMM_TRAIN_SPAN", "1") == "1"
+                    else None)
             step = make_train_step(model, opt, lcfg, vg_mode="none",
-                                   bf16_vlm=True, attn_impl="auto", remat="attn")
+                                   bf16_vlm=True, attn_impl="auto",
+                                   remat="attn", vis_span=span)
             state, logs = step(state, frozen, batch)  # compile + warm
             np.asarray(jnp.sum(logs.get("loss", logs["lm_loss"])))
             t0 = time.time()

@@ -105,6 +105,35 @@ def test_train_step_semantic_vg():
     assert float(logs["grad_norm"]) > 0
 
 
+def test_train_step_expert_span_matches_dual():
+    """Static expert-span routing (vis_span="auto") == the dual masked path
+    on a layout-consistent batch (vision-typed tokens exactly [1, 1+n_vis)
+    with n_vis = the ViT's spliced width — the input_builder guarantee).
+    This is the train-side twin of test_vis_span_fast_path_matches_masked:
+    the r4 train gauge paid both experts' matmuls for every token."""
+    cfg = MMMMConfig.tiny()
+    model = MMMMModel(cfg)
+    # (4, 16, 16) @ patch (4,4,4), pool (1,1,1) -> 16 patches + boi/eoi = 18
+    batch = _batch(cfg, s=32, n_vis=18)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_dual, logs_dual = model.training_step(
+        params, batch, vg_mode="none", attn_impl="xla"
+    )
+    loss_span, logs_span = model.training_step(
+        params, batch, vg_mode="none", attn_impl="xla", vis_span="auto"
+    )
+    np.testing.assert_allclose(
+        float(loss_span), float(loss_dual), rtol=2e-5
+    )
+    # text-only batch: "auto" must fall back to the dual path (no image)
+    tbatch = {k: v for k, v in _batch(cfg, s=16, n_vis=0).items()
+              if k not in ("image", "patch_size", "pool_size")}
+    loss_t, _ = model.training_step(
+        params, tbatch, vg_mode="none", attn_impl="xla", vis_span="auto",
+    )
+    assert np.isfinite(float(loss_t))
+
+
 def test_lora_dropout_train_vs_eval():
     """Dropout perturbs the merged weights during training (fresh mask per rng)
     and is absent at eval (no rng) — recipe parity with conf/lora.yaml (p=.05)."""
