@@ -452,25 +452,31 @@ def _gauge_spec() -> dict:
     the row: random-weight acceptance is unrepresentative of real reports —
     tests/test_speculative.py pins the structured-text value instead."""
     params, cfg, tokenizer = build_params()
-    srun = None
-    for sb in dict.fromkeys((BATCH, 24)):  # fallback: the r4 spec row OOM'd
+    sres = None
+    # ladder: the r5 canonical run OOM'd at B48 on the TIMED pass — the warm
+    # run's result tree was still live while the second run executed (spec
+    # holds draft tables on top of the greedy residents). The warm result is
+    # now dropped before timing, and smaller batches back it up.
+    for sb in dict.fromkeys((BATCH, 40, 24)):
         chunk = PREFILL_CHUNK if PREFILL_CHUNK < sb else 0
+        srun = None
         try:
             srun, _ = build_run(
                 params, cfg, tokenizer, sb, MAX_NEW_TOKENS, KV_DTYPE,
                 chunk, spec=SPEC_ROW,
             )
-            sres = srun()  # compile
+            srun()  # compile + warm; result buffers released immediately
+            t0 = time.time()
+            sres = srun()
+            sdt = time.time() - t0
             break
         except Exception as e:  # noqa: BLE001
             srun = None  # release device inputs before the fallback batch
+            sres = None
             print(f"[bench] spec rung b={sb} failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr, flush=True)
-    if srun is None:
+    if sres is None:
         raise RuntimeError("spec gauge: every batch rung failed")
-    t0 = time.time()
-    sres = srun()
-    sdt = time.time() - t0
     st = jax.device_get(sres.spec_stats) if sres.spec_stats else {}
     return {
         "value": round(sb / sdt, 3), "unit": "reports/sec/chip",

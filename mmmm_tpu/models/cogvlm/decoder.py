@@ -266,10 +266,14 @@ def _decoder_layer(
                 from ...ops.decode_kernel import decode_attention_pallas
 
                 ctx = decode_attention_pallas(q, k_cache, v_cache, kv_len)
-            elif use_window:
-                from ...ops.decode_kernel import decode_attention_pallas_window
-
-                ctx = decode_attention_pallas_window(q, k_cache, v_cache, write_index)
+            # use_window: the k-row window READ stays on the XLA bhsd path —
+            # the round-5 slope probe (ms/layer at B48 H32 S328, relay
+            # intercept removed): append+XLA 0.377, append+window-kernel
+            # 0.548, window-kernel alone 0.410, greedy step 0.421. XLA reads
+            # the in-place-appended cache at ~roofline once the scatter
+            # append is gone; composing the Pallas window read with the
+            # aliased append carry is what loses. The r4 spec loss was the
+            # SCATTER append (copy pairing), not the XLA read itself.
             if ctx is None:  # XLA path, or the window's K+V exceeds VMEM
                 smax = k_cache.shape[2]
                 valid = jnp.arange(smax)[None, :] < kv_len[..., None]

@@ -398,31 +398,37 @@ def _decode_window_kernel(widx_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float)
     Query position j attends cache slots < write_index + j + 1 — causal
     within the freshly-appended window, full over the prefix (the exact
     ``kv_len = write + arange(1, k+1)`` contract of the spec verify loop,
-    ``models/speculate.py:171``). One grid cell per sample streams the whole
-    K+V once; the (S, D) x (D, K) logits and (K, S) x (S, D) context ride
-    the MXU in f32 (tiny vs the read stream), softmax masks per column."""
-    _, heads, smax, head_dim = k_ref.shape
+    ``models/speculate.py:171``).
+
+    Layout mirrors the 0.9-of-roofline single-token kernel: grid
+    (B, H/chunk) head-chunked cells so DMA pipelines across many parallel
+    cells, logits shaped (K, S) — queries on sublanes, cache slots on LANES,
+    so the softmax chain runs full-width — and bf16 matmul operands (the
+    round-5 gate measured the first cut, grid (B,) + (S, K=8) logits + f32
+    operands, at 46 GB/s effective: 8/128 lane occupancy for the whole
+    softmax + the slow fp32 MXU path + 48 serial cells)."""
+    chunk = q_ref.shape[1]
+    smax = k_ref.shape[2]
     nq = q_ref.shape[2]
     t = widx_ref[pl.program_id(0)]
-    slot = lax.broadcasted_iota(jnp.int32, (smax, nq), 0)
-    qcol = lax.broadcasted_iota(jnp.int32, (smax, nq), 1)
-    valid = slot < t + qcol + 1  # (S, K)
-    for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)  # (K, D)
-        k = k_ref[0, h].astype(jnp.float32)  # (S, D)
-        v = v_ref[0, h].astype(jnp.float32)  # (S, D)
+    slot = lax.broadcasted_iota(jnp.int32, (nq, smax), 1)
+    qrow = lax.broadcasted_iota(jnp.int32, (nq, smax), 0)
+    valid = slot < t + qrow + 1  # (K, S)
+    for h in range(chunk):
+        q = q_ref[0, h]  # (K, D) bf16
+        k = k_ref[0, h]  # (S, D) bf16
+        v = v_ref[0, h]  # (S, D) bf16
         s = lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (S, K)
+        ) * scale  # (K, S) f32 — slots on lanes
         s = jnp.where(valid, s, NEG_INF)
-        m = jnp.max(s, axis=0, keepdims=True)
+        m = jnp.max(s, axis=-1, keepdims=True)  # (K, 1)
         p = jnp.exp(s - m)
         p = jnp.where(valid, p, 0.0)
-        denom = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
-        p = p / denom
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         o = lax.dot_general(
-            p, v, (((0,), (0,)), ((), ())),
+            (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (K, D)
         o_ref[0, h] = o.astype(o_ref.dtype)
@@ -445,23 +451,26 @@ def decode_attention_pallas_window(
         scale = q.shape[-1] ** -0.5
     b, nq, h, d = q.shape
     smax = k_cache.shape[2]
-    full_bytes = 2 * h * smax * d * k_cache.dtype.itemsize
+    chunk = 8 if h % 8 == 0 else h  # (B, H/8) grid, q8-kernel lesson
+    full_bytes = 2 * chunk * smax * d * k_cache.dtype.itemsize
     if full_bytes > _FULL_READ_VMEM_BUDGET:
         return None
     qh = jnp.swapaxes(q, 1, 2)  # (B, H, K, D)
     out = pl.pallas_call(
         functools.partial(_decode_window_kernel, scale=scale),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h, nq, d), lambda i, widx: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, smax, d), lambda i, widx: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, smax, d), lambda i, widx: (i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, h, nq, d), lambda i, widx: (i, 0, 0, 0)),
-        ),
+        grid=(b, h // chunk),
+        in_specs=[
+            # rank-1 SMEM blocks must span the whole array; index per cell
+            pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, nq, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, chunk, smax, d), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, nq, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=jax.default_backend() != "tpu",
     )(write_index.astype(jnp.int32), qh, k_cache, v_cache)
     return jnp.swapaxes(out, 1, 2)

@@ -102,38 +102,53 @@ vnB = jnp.asarray(rng.normal(size=(B, H, K, D)), jnp.bfloat16)
 wB = jnp.asarray(rng.integers(190, 300, size=(B,)), jnp.int32)
 
 
-def step_kernel(kc, vc, q, kn, vn, w):
-    def body(carry, _):
-        kc, vc = carry
-        kc, vc = kv_append_pallas_multi(kc, vc, kn, vn, w)
-        ctx = decode_attention_pallas_window(q, kc, vc, w)
-        return (kc, vc), jnp.sum(ctx.astype(jnp.float32))
-    (_, _), outs = lax.scan(body, (kc, vc), None, length=LAYERS)
-    return outs
-
-
-def step_xla(kc, vc, q, kn, vn, w):
-    kv_len = w[:, None] + jnp.arange(1, K + 1)[None, :]
-
-    def body(carry, _):
-        kc, vc = carry
-        kc = upd(kc, kn, w)
-        vc = upd(vc, vn, w)
+# per-call relay dispatch+fetch costs ~25-30 ms and swamps a single
+# 14-layer pass (the first r5 gate read "46 GB/s" through that intercept) —
+# time at two scan lengths and report the SLOPE.
+def make_kernel_step(L):
+    def f(kc, vc, q, kn, vn, w):
+        kv_len = w[:, None] + jnp.arange(1, K + 1)[None, :]
         valid = jnp.arange(S)[None, :] < kv_len[..., None]
-        ctx = decode_attention_bhsd(q, kc, vc, valid)
-        return (kc, vc), jnp.sum(ctx.astype(jnp.float32))
-    (_, _), outs = lax.scan(body, (kc, vc), None, length=LAYERS)
-    return outs
+
+        def body(carry, _):
+            kc, vc = carry
+            kc, vc = kv_append_pallas_multi(kc, vc, kn, vn, w)
+            # winning r5 combo: in-place append + XLA bhsd windowed read
+            ctx = decode_attention_bhsd(q, kc, vc, valid)
+            return (kc, vc), jnp.sum(ctx.astype(jnp.float32))
+        (_, _), outs = lax.scan(body, (kc, vc), None, length=L)
+        return jnp.sum(outs)
+    return f
 
 
-for name, fn in (("kernel", step_kernel), ("xla", step_xla)):
-    jf = jax.jit(fn)
-    np.asarray(jf(kcB, vcB, qB, knB, vnB, wB))  # compile + warm
-    t0 = time.time()
-    for _ in range(10):
-        np.asarray(jnp.sum(jf(kcB, vcB, qB, knB, vnB, wB)))
-    dt = (time.time() - t0) / 10
-    gb = 2 * B * H * S * D * 2 * LAYERS / 1e9
-    print(f"TIMING {name}: {dt*1e3:.2f} ms per {LAYERS}-layer verify pass "
-          f"({gb/dt:.0f} GB/s effective cache read)")
+def make_xla_step(L):
+    def f(kc, vc, q, kn, vn, w):
+        kv_len = w[:, None] + jnp.arange(1, K + 1)[None, :]
+
+        def body(carry, _):
+            kc, vc = carry
+            kc = upd(kc, kn, w)
+            vc = upd(vc, vn, w)
+            valid = jnp.arange(S)[None, :] < kv_len[..., None]
+            ctx = decode_attention_bhsd(q, kc, vc, valid)
+            return (kc, vc), jnp.sum(ctx.astype(jnp.float32))
+        (_, _), outs = lax.scan(body, (kc, vc), None, length=L)
+        return jnp.sum(outs)
+    return f
+
+
+gb_layer = 2 * B * H * S * D * 2 / 1e9
+for name, mk in (("kernel-append+xla", make_kernel_step),
+                 ("dus-append+xla", make_xla_step)):
+    ms = {}
+    for L in (LAYERS, 4 * LAYERS):
+        jf = jax.jit(mk(L))
+        np.asarray(jf(kcB, vcB, qB, knB, vnB, wB))  # compile + warm
+        t0 = time.time()
+        for _ in range(8):
+            np.asarray(jf(kcB, vcB, qB, knB, vnB, wB))
+        ms[L] = (time.time() - t0) / 8
+    slope = (ms[4 * LAYERS] - ms[LAYERS]) / (3 * LAYERS)
+    print(f"TIMING {name}: {slope*1e3:.3f} ms/layer "
+          f"({gb_layer/slope:.0f} GB/s effective cache read)")
 print("ALL OK")
