@@ -36,6 +36,10 @@ def main(argv=None):
                     help="6.5b = the serving-bench flagship shape (13 GB bf16 "
                     "frozen base; LoRA state + remat'd activations must fit "
                     "the remaining ~3 GB — start at --batch 2)")
+    ap.add_argument("--attn", default="auto",
+                    help="attn_impl for the step (auto|flash|xla|ring): the "
+                         "r5 trainbisect puts attention at 258 ms of the "
+                         "658 ms 1.4b step vs a ~20 ms matmul floor")
     ap.add_argument("--vg", default="none",
                     choices=["none", "semantic", "instance"],
                     help="grounding mode in the step (the stage-1 recipe is a "
@@ -107,7 +111,7 @@ def main(argv=None):
     # batch mirrors; MMMM_TRAIN_SPAN=0 A/Bs the old dual dense path)
     span = "auto" if os.environ.get("MMMM_TRAIN_SPAN", "1") == "1" else None
     step = make_train_step(
-        model, opt, lcfg, vg_mode=args.vg, bf16_vlm=True, attn_impl="auto",
+        model, opt, lcfg, vg_mode=args.vg, bf16_vlm=True, attn_impl=args.attn,
         remat=remat, vis_span=span,
     )
 
@@ -182,6 +186,7 @@ def main(argv=None):
         "mfu": round(flops / dt / 197e12, 4),
         "remat": args.remat,
         "vg_mode": args.vg,
+        "attn": args.attn,
         "expert_span": span is not None,
         "batch": b, "seq": s,
         "loss": float(np.asarray(logs.get("loss", logs["lm_loss"]))),
