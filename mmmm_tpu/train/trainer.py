@@ -46,7 +46,13 @@ class TrainerConfig:
     # bf16_vlm): halves base-model HBM + removes the per-step cast copy
     frozen_vlm_bf16: bool = True
     remat: bool = True
-    attn_impl: str = "auto"
+    # "xla" A/B'd the causal train sites at the recipe shape (1.4b B8
+    # S1024): 596.3 ms/step vs 658.4 with the flash kernel ("auto") —
+    # XLA's fused attention beats the streaming kernel at fwd+bwd training
+    # shapes, and the multichip lowering/dryrun paths already validate
+    # attn_impl="xla". Serving keeps its own dispatch (dense/flash),
+    # measured separately.
+    attn_impl: str = "xla"
     # static single-expert routing over the image span: "auto" is exact for
     # batches built by input_builder.prepare_vlm_inputs (vision-typed tokens
     # are always [1, 1+n_img)) and halves the expert matmul FLOPs that the

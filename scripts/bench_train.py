@@ -36,10 +36,12 @@ def main(argv=None):
                     help="6.5b = the serving-bench flagship shape (13 GB bf16 "
                     "frozen base; LoRA state + remat'd activations must fit "
                     "the remaining ~3 GB — start at --batch 2)")
-    ap.add_argument("--attn", default="auto",
+    ap.add_argument("--attn", default="xla",
                     help="attn_impl for the step (auto|flash|xla|ring): the "
-                         "r5 trainbisect puts attention at 258 ms of the "
-                         "658 ms 1.4b step vs a ~20 ms matmul floor")
+                         "r5 trainbisect put attention at 258 ms of the "
+                         "658 ms 1.4b step vs a ~20 ms matmul floor; xla "
+                         "measured 596.3 ms vs auto/flash 658.4 (default "
+                         "flipped, matching TrainerConfig)")
     ap.add_argument("--vg", default="none",
                     choices=["none", "semantic", "instance"],
                     help="grounding mode in the step (the stage-1 recipe is a "
