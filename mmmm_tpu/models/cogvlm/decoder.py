@@ -137,17 +137,27 @@ def _decoder_layer(
         )
     elif expert_span is not None:
         lo, hi = expert_span
+        # MMMM_W8A8_PREFILL=1: native int8 x int8 prefill matmuls with
+        # dynamic per-row activation scales. Re-probed at prefill M=2304
+        # (PROBE_PREFILL_r05 qdot rows): W8A8 0.571 ms vs bf16/W8A16
+        # 1.09-1.10 at 4096x11008 — ~the v5e int8 MXU peak (the r3
+        # "int8 == bf16 rate" verdict was a decode/4096^3-M artifact).
+        # Opt-in: adds ~0.4% per-row activation error; no-op for
+        # unquantized (training) weights. lm_head stays W8A16.
+        qd = partial(
+            qdot, act_quant=os.environ.get("MMMM_W8A8_PREFILL", "0") == "1"
+        )
 
         def dual(t, wv, wl):
             return jnp.concatenate(
-                [qdot(t[:, :lo], wl), qdot(t[:, lo:hi], wv), qdot(t[:, hi:], wl)],
+                [qd(t[:, :lo], wl), qd(t[:, lo:hi], wv), qd(t[:, hi:], wl)],
                 axis=1,
             )
 
         def mlp(t):
             def sw(seg, mp):
-                return qdot(
-                    jax.nn.silu(qdot(seg, mp["gate"])) * qdot(seg, mp["up"]),
+                return qd(
+                    jax.nn.silu(qd(seg, mp["gate"])) * qd(seg, mp["up"]),
                     mp["down"],
                 )
 

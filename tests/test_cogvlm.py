@@ -180,6 +180,41 @@ def test_vis_span_fast_path_matches_masked():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_w8a8_prefill_close_to_w8a16(monkeypatch):
+    """MMMM_W8A8_PREFILL=1 (native int8 x int8 span-path matmuls, dynamic
+    per-row activation scales) stays within the expected ~1% of the W8A16
+    dequant form on quantized weights — and is exactly a no-op on raw
+    (training) weights by qdot's passthrough."""
+    import numpy as np
+
+    from mmmm_tpu.models.cogvlm.decoder import init_llm_params
+    from mmmm_tpu.ops.quant import quantize_llm_for_serving
+
+    cfg = CogVLMConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+    )
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_llm_for_serving(
+        {"llm": params}, release_originals=False
+    )["llm"]
+    b, s, lo, hi = 2, 24, 3, 11
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(b, s, 64)), jnp.float32)
+    tt = np.zeros((b, s), np.int32)
+    tt[:, lo:hi] = 1
+    tt = jnp.asarray(tt)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s)).astype(jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    kw = dict(attn_impl="xla", vis_span=(lo, hi))
+    ref = llm_forward(qparams, cfg, emb, tt, pos, seg, **kw)
+    monkeypatch.setenv("MMMM_W8A8_PREFILL", "1")
+    a8 = llm_forward(qparams, cfg, emb, tt, pos, seg, **kw)
+    err = float(jnp.max(jnp.abs(a8 - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.05, err
+    assert err > 0  # the knob engaged
+
+
 def test_vit_padded_heads_identical():
     """pad_attention_heads is numerically lossless (same forward output)."""
     import jax
