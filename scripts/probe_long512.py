@@ -46,7 +46,7 @@ def main():
         rec = {"probe": "long512", "tag": tag}
         try:
             run, flops = bench.build_run(
-                params, cfg, tokenizer, conf["B"], 512, "bf16", 0
+                params, cfg, tokenizer, conf["B"], 512, "bf16", 0, spec=0
             )
             run()  # compile
             t0 = time.time()

@@ -389,6 +389,9 @@ def probe_stages(out, only: str | None = None):
         run, flops = bench.build_run(
             params, cfg, tokenizer, b, bench.MAX_NEW_TOKENS,
             bench.KV_DTYPE, bench.PREFILL_CHUNK,
+            # pin greedy: bench's SPEC default flipped to 7 in r5; the stage
+            # table decomposes the greedy program (historical comparability)
+            spec=0,
         )
 
     if only in (None, "vit"):
