@@ -124,4 +124,9 @@ def test_spawn_gauge_returns_error_row_after_retries(monkeypatch):
 def test_gauge_registry_complete():
     import bench
 
-    assert set(bench._GAUGES) == {"headline", "long", "spec", "prefill"}
+    # "greedy" (r5): the greedy control row spawned when the headline runs
+    # speculative decode (the r5 default); same gauge fn, spec disabled via
+    # the child env in _spawn_gauge
+    assert set(bench._GAUGES) == {"headline", "greedy", "long", "spec",
+                                  "prefill"}
+    assert bench._GAUGES["greedy"] is bench._GAUGES["headline"]
